@@ -1,0 +1,242 @@
+"""Ed25519 (RFC 8032 PureEdDSA), batched.
+
+TPU-native counterpart of /root/reference/src/protocol/ed25519.rs. Design
+split: SHA-512 runs on the host (hashlib now; native C++ batched hashing is
+the planned fast path — hashing is outside the reference's own metric too,
+it delegates to cryptoxide, ed25519.rs:11-17), while all curve/scalar math
+— wide reduction (ed25519.rs:21-23), fixed-base mul (curve25519.rs:775),
+variable-base CT mul (curve25519.rs:676-687), point codec (ed25519.rs:
+27-56) — runs batched on device.
+
+Device-facing entry points take fixed-shape byte columns; host wrappers
+handle Python bytes and hashing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curves import curve25519 as c255
+from ..curves.edwards import ExtPoint
+
+FQ = c255.FQ
+FL = c255.FL
+ED = c255.EDWARDS
+
+
+def sha512_batch_host(msgs: list[bytes]) -> np.ndarray:
+    """Host-side batched SHA-512 -> (64, B) int32 byte columns."""
+    out = np.zeros((64, len(msgs)), dtype=np.int32)
+    for j, m in enumerate(msgs):
+        out[:, j] = np.frombuffer(hashlib.sha512(m).digest(), np.uint8)
+    return out
+
+
+def clamp_scalar_bytes(h: np.ndarray) -> np.ndarray:
+    """RFC 8032 secret-scalar clamp on (32, B) byte columns
+    (reference ed25519.rs:59-77 expand_secret)."""
+    h = h.copy()
+    h[0] &= 0xF8
+    h[31] = (h[31] & 0x7F) | 0x40
+    return h
+
+
+def windows_from_bytes_le(by, n_windows: int):
+    """(nbytes, B) LE bytes -> (n_windows, B) 4-bit digits, MSB first."""
+    outs = []
+    for j in range(n_windows):
+        bit = 4 * (n_windows - 1 - j)
+        q, r = divmod(bit, 8)
+        outs.append((by[q] >> r) & 0xF)
+    return jnp.stack(outs)
+
+
+def scalar_mul_base(scalar_bytes):
+    """[s]B for (32, B) LE scalar bytes -> ExtPoint (generator fixed-base;
+    comb-table path plugs in here)."""
+    from ..params.comb import get_comb
+
+    comb = get_comb("edwards25519")
+    if comb is not None:
+        return comb.mul_base(scalar_bytes)
+    batch = (scalar_bytes.shape[1],)
+    w = windows_from_bytes_le(scalar_bytes, 64)
+    return ED.scalar_mul(ED.generator(batch), w)
+
+
+def scalar_mul(point: ExtPoint, scalar_bytes):
+    w = windows_from_bytes_le(scalar_bytes, 64)
+    return ED.scalar_mul(point, w)
+
+
+# ---------------------------------------------------------------------------
+# device-side cores (jittable)
+# ---------------------------------------------------------------------------
+
+
+def sign_core(a_clamped_bytes, r_wide_bytes, k_wide_bytes):
+    """Device part of signing, given the two SHA-512 digests.
+
+    a_clamped: (32, B) clamped secret scalar bytes
+    r_wide:    (64, B) H(prefix || M)
+    k_wide:    (64, B) H(R || A || M)   [second pass; see sign_host]
+    Returns S bytes (32, B). R must be computed by the first-pass call
+    r_point_core. (reference ed25519.rs:91-107 sign_with_public)
+    """
+    r = FL.from_wide_bytes_le(r_wide_bytes)
+    k = FL.from_wide_bytes_le(k_wide_bytes)
+    a = _scalar_from_clamped(a_clamped_bytes)
+    s = FL.add(r, FL.mul(k, a))
+    return FL.to_bytes_le(s)
+
+
+def _scalar_from_clamped(a_bytes):
+    """Clamped scalar bytes -> FL element. The clamped value can be >= l,
+    so reduce as a wide value rather than canonical from_bytes."""
+    return FL.from_wide_bytes_le(a_bytes)
+
+
+def r_point_core(r_wide_bytes):
+    """First device pass of signing: R = [r]B compressed (32, B)."""
+    r = FL.from_wide_bytes_le(r_wide_bytes)
+    r_bytes = FL.to_bytes_le(r)
+    return ED.compress(scalar_mul_base(r_bytes))
+
+
+def public_key_core(a_clamped_bytes):
+    """A = [a]B compressed (32, B) (reference ed25519.rs:73-77)."""
+    a = _scalar_from_clamped(a_clamped_bytes)
+    return ED.compress(scalar_mul_base(FL.to_bytes_le(a)))
+
+
+def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes):
+    """Device part of verification: checks [S]B - [k]A == R via a joint
+    Straus/Shamir double-scalar multiplication (one shared doubling chain
+    for both scalars — the reference's separate mul_base + scale
+    (ed25519.rs:137-140) costs twice the doublings).
+
+    Returns a (B,) bool mask. Rejects non-canonical A/R encodings and
+    non-canonical S (reference ed25519.rs:116-143)."""
+    A, ok_a = ED.decompress(pk_bytes)
+    R, ok_r = ED.decompress(r_bytes)
+    s, ok_s = FL.from_bytes_le(s_bytes)
+    k = FL.from_wide_bytes_le(k_wide_bytes)
+    negA = ED.neg(A)
+    lhs = double_scalar_mul_base(FL.to_bytes_le(s), negA, FL.to_bytes_le(k))
+    good = ED.eq(lhs, R)
+    return jnp.logical_and(
+        jnp.logical_and(ok_a, ok_r), jnp.logical_and(ok_s, good)
+    )
+
+
+def double_scalar_mul_base(s_bytes, Q, k_bytes):
+    """[s]B + [k]Q with one shared doubling chain (Straus interleaving,
+    4-bit windows): 64 x (4 dbl + 2 complete adds + 2 CT lookups)."""
+    from ..curves.edwards import ExtPoint
+
+    batch = (s_bytes.shape[1],)
+    wq = windows_from_bytes_le(k_bytes, 64)
+    tableQ = ED._window_table(Q, 4)
+    # generator window table from the comb constants (window 0 entries are
+    # [j]B affine, z=1) — reuse the comb's first window as the Straus base
+    # table to avoid building it at runtime
+    from ..params.comb import get_comb
+    import jax as _jax
+
+    comb = get_comb("edwards25519")
+    ws = windows_from_bytes_le(s_bytes, 64)
+    f = FQ
+    tx, ty, tt = (
+        jnp.asarray(comb.xs[0]), jnp.asarray(comb.ys[0]), jnp.asarray(comb.ts[0]),
+    )
+
+    def body(acc, digs):
+        ds, dq = digs
+        for _ in range(4):
+            acc = ED.double(acc)
+        sel = (jnp.arange(16, dtype=jnp.int32)[:, None] == ds[None, :]).astype(
+            jnp.int32
+        )
+        bx = jnp.einsum("kb,kn->nb", sel, tx)
+        by = jnp.einsum("kb,kn->nb", sel, ty)
+        bt = jnp.einsum("kb,kn->nb", sel, tt)
+        acc = ED.add_mixed(acc, bx, by, bt)
+        q = ED._ct_lookup(tableQ, dq, 4)
+        acc = ED.add(acc, q)
+        return acc, None
+
+    ident = ED.identity(batch)
+    acc = ExtPoint(*(c + s_bytes[0] * 0 for c in ident))
+    acc, _ = jax.lax.scan(body, acc, (ws, wq))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# host API (hashing + orchestration); mirrors the reference's SecretKey /
+# PublicKey / Keypair surface (ed25519.rs:145-243)
+# ---------------------------------------------------------------------------
+
+_jit_cache: dict = {}
+
+
+def _jit(name, fn):
+    if name not in _jit_cache:
+        _jit_cache[name] = jax.jit(fn)
+    return _jit_cache[name]
+
+
+def _cols(bs: list[bytes]) -> jnp.ndarray:
+    return jnp.asarray(
+        np.stack([np.frombuffer(b, np.uint8) for b in bs], axis=1).astype(np.int32)
+    )
+
+
+def _rows(arr) -> list[bytes]:
+    a = np.asarray(arr)
+    return [bytes(int(a[i, j]) & 0xFF for i in range(a.shape[0])) for j in range(a.shape[1])]
+
+
+def expand_secret_host(sks: list[bytes]):
+    """B secret keys -> (clamped scalar cols (32,B) np, prefixes list)."""
+    hs = [hashlib.sha512(sk).digest() for sk in sks]
+    a = np.stack([np.frombuffer(h[:32], np.uint8) for h in hs], axis=1).astype(np.int32)
+    return clamp_scalar_bytes(a), [h[32:] for h in hs]
+
+
+def public_keys_host(sks: list[bytes]) -> list[bytes]:
+    a, _ = expand_secret_host(sks)
+    pk = _jit("pk", public_key_core)(jnp.asarray(a))
+    return _rows(pk)
+
+
+def sign_host(sks: list[bytes], msgs: list[bytes]) -> list[bytes]:
+    assert len(sks) == len(msgs)
+    a, prefixes = expand_secret_host(sks)
+    pks = public_keys_host(sks)
+    r_wide = sha512_batch_host([p + m for p, m in zip(prefixes, msgs)])
+    R = _rows(_jit("rpt", r_point_core)(jnp.asarray(r_wide)))
+    k_wide = sha512_batch_host(
+        [rb + pk + m for rb, pk, m in zip(R, pks, msgs)]
+    )
+    S = _rows(
+        _jit("sc", sign_core)(
+            jnp.asarray(a), jnp.asarray(r_wide), jnp.asarray(k_wide)
+        )
+    )
+    return [rb + sb for rb, sb in zip(R, S)]
+
+
+def verify_host(pks: list[bytes], msgs: list[bytes], sigs: list[bytes]) -> list[bool]:
+    rs = [s[:32] for s in sigs]
+    ss = [s[32:] for s in sigs]
+    k_wide = sha512_batch_host(
+        [r + pk + m for r, pk, m in zip(rs, pks, msgs)]
+    )
+    ok = _jit("vc", verify_core)(
+        _cols(pks), _cols(rs), _cols(ss), jnp.asarray(k_wide)
+    )
+    return [bool(v) for v in np.asarray(ok)]

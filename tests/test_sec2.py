@@ -1,0 +1,168 @@
+"""SEC2 curve correctness: oracle KATs + completeness properties.
+
+Mirrors the reference's cross-cutting suites: KAT scalar-muls through the
+public API (/root/reference/src/tests/kats.rs:3-40), completeness
+properties (/root/reference/src/tests/completeness.rs), and comb-vs-generic
+agreement (completeness.rs:96-117) — with the Python-int oracle in the role
+of the NIST/sage vectors.
+"""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eccoxide_tpu.curves import sec2
+from eccoxide_tpu.oracle.curve import WCurve
+from eccoxide_tpu.params.sec2_params import CURVES
+
+FAST_CURVES = ["p256r1", "p192k1", "p112r1"]
+SLOW_CURVES = ["p256k1", "p224r1", "p384r1", "p521r1"]
+TEST_PARAMS = [pytest.param(c, id=c) for c in FAST_CURVES] + [
+    pytest.param(c, id=c, marks=pytest.mark.slow) for c in SLOW_CURVES
+]
+
+_jit_cache = {}
+
+
+def oracle_of(name):
+    c = CURVES[name]
+    return WCurve(c["p"], c["a"] % c["p"], c["b"], c["gx"], c["gy"], c["order"])
+
+
+@pytest.fixture(scope="module", params=TEST_PARAMS)
+def curve(request):
+    return sec2.get_curve(request.param)
+
+
+def _windows(spec, ks):
+    """MSB-first 4-bit windows for a list of scalar ints."""
+    nbits = spec.scalar.bits
+    nw = -(-nbits // 4)
+    out = np.zeros((nw, len(ks)), dtype=np.int32)
+    for j, k in enumerate(ks):
+        for i in range(nw):
+            out[i, j] = (k >> (4 * (nw - 1 - i))) & 0xF
+    return jnp.asarray(out)
+
+
+def _scalar_bytes_le(spec, ks):
+    nb = spec.scalar.n_bytes
+    out = np.zeros((nb, len(ks)), dtype=np.int32)
+    for j, k in enumerate(ks):
+        for i, byte in enumerate(k.to_bytes(nb, "little")):
+            out[i, j] = byte
+    return jnp.asarray(out)
+
+
+def J(curve, name, fn):
+    key = (curve.name, name)
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(fn)
+    return _jit_cache[key]
+
+
+def _affine_ints(spec, P):
+    ax, ay = spec.to_affine(P)
+    return spec.field.decode_ints(ax), spec.field.decode_ints(ay)
+
+
+def test_scalar_mul_kats(curve):
+    """[k]G matches the oracle for structured + random scalars."""
+    o = oracle_of(curve.name)
+    rng = random.Random(hash(curve.name) & 0xFFFF)
+    ks = [1, 2, 3, o.order - 1, o.order // 2] + [
+        rng.randrange(1, o.order) for _ in range(3)
+    ]
+    G = curve.generator((len(ks),))
+    fn = J(curve, "smul", lambda w: curve.scalar_mul(curve.generator((w.shape[1],)), w))
+    R = fn(_windows(curve, ks))
+    xs, ys = _affine_ints(curve, R)
+    for k, x, y in zip(ks, xs, ys):
+        ex, ey = o.mul_base(k)
+        assert (x, y) == (ex, ey), f"{curve.name}: k={k}"
+
+
+def test_mul_base_comb_agreement(curve):
+    """Comb fixed-base equals generic scalar mul (completeness.rs:96-117)."""
+    o = oracle_of(curve.name)
+    rng = random.Random(hash(curve.name) & 0xFFF1)
+    ks = [1, 15, 16, o.order - 1] + [rng.randrange(1, o.order) for _ in range(2)]
+    fn = J(curve, "mbase", curve.mul_base)
+    R = fn(_scalar_bytes_le(curve, ks))
+    xs, ys = _affine_ints(curve, R)
+    for k, x, y in zip(ks, xs, ys):
+        ex, ey = o.mul_base(k)
+        assert (x, y) == (ex, ey), f"{curve.name} comb: k={k}"
+
+
+def test_completeness(curve):
+    """P+P == 2P; P+(-P) == inf; P+inf == P; (aP)+(bP) == (a+b)P
+    (completeness.rs:20-57)."""
+    o = oracle_of(curve.name)
+    rng = random.Random(7)
+    ks = [rng.randrange(1, o.order) for _ in range(4)]
+    W = _windows(curve, ks)
+
+    def props(w):
+        P = curve.scalar_mul(curve.generator((w.shape[1],)), w)
+        dbl = curve.double(P)
+        add_same = curve.add(P, P)
+        e1 = curve.eq(dbl, add_same)
+        inf = curve.add(P, curve.neg(P))
+        e2 = curve.is_identity(inf)
+        idp = curve.add(P, curve.identity((w.shape[1],)))
+        e3 = curve.eq(idp, P)
+        return e1, e2, e3
+
+    e1, e2, e3 = J(curve, "props", props)(W)
+    assert bool(np.all(np.asarray(e1)))
+    assert bool(np.all(np.asarray(e2)))
+    assert bool(np.all(np.asarray(e3)))
+
+
+def test_homomorphism(curve):
+    o = oracle_of(curve.name)
+    rng = random.Random(8)
+    pairs = [(rng.randrange(1, o.order), rng.randrange(1, o.order)) for _ in range(3)]
+    a_ks = [a for a, _ in pairs]
+    b_ks = [b for _, b in pairs]
+    s_ks = [(a + b) % o.order for a, b in pairs]
+
+    def hom(wa, wb, ws):
+        B = wa.shape[1]
+        G = curve.generator((B,))
+        Pa = curve.scalar_mul(G, wa)
+        Pb = curve.scalar_mul(G, wb)
+        Ps = curve.scalar_mul(G, ws)
+        return curve.eq(curve.add(Pa, Pb), Ps)
+
+    ok = J(curve, "hom", hom)(
+        _windows(curve, a_ks), _windows(curve, b_ks), _windows(curve, s_ks)
+    )
+    assert bool(np.all(np.asarray(ok)))
+
+
+def test_compress_roundtrip(curve):
+    o = oracle_of(curve.name)
+    rng = random.Random(9)
+    ks = [rng.randrange(1, o.order) for _ in range(4)]
+
+    def comp(w):
+        P = curve.scalar_mul(curve.generator((w.shape[1],)), w)
+        by = curve.compress(P)
+        Q, ok = curve.decompress(by)
+        return by, curve.eq(P, Q), ok
+
+    by, same, ok = J(curve, "comp", comp)(_windows(curve, ks))
+    assert bool(np.all(np.asarray(same)))
+    assert bool(np.all(np.asarray(ok)))
+    # compare the compressed encoding against the oracle affine point
+    bya = np.asarray(by)
+    for j, k in enumerate(ks):
+        ex, ey = o.mul_base(k)
+        expect = bytes([2 + (ey & 1)]) + ex.to_bytes(curve.field.n_bytes, "big")
+        got = bytes(int(bya[i, j]) for i in range(bya.shape[0]))
+        assert got == expect
