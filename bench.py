@@ -5,50 +5,250 @@ Prints ONE JSON line:
 
 vs_baseline is measured against the north-star target of 10M verifies/sec
 on a 16-chip v5e (BASELINE.md), i.e. 625k verifies/sec/chip == 1.0.
+
+Robustness (this harness must never end a round with no number): each
+measurement runs in a child process with a hard timeout, so an XLA
+remote-compile hang or crash at one batch size cannot take down the whole
+run. The parent walks a fallback ladder — flagship verify at descending
+batch sizes, then cheaper metrics (x25519, field mul) — and always emits a
+JSON line on stdout with rc=0.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+CACHE_DIR = "/tmp/eccoxide_tpu_jax_cache"
+TARGET_PER_CHIP = 625000.0  # 10M / 16 chips (BASELINE.md north star)
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    return jax
+
+
+def _chain_time(step, x0, fetch, k_short=4, k_long=36):
+    """True per-call device time via dependency chaining.
+
+    On the remote (axon-tunnelled) backend, ``block_until_ready`` returns
+    before the device has actually executed (measured: an 8192^3 bf16
+    matmul "completes" in 0.1ms against a >=2.8ms roofline), so naive
+    per-call timing is a dispatch-latency illusion. The honest method:
+    chain K dispatches through a data dependency (call i+1 consumes call
+    i's output), force the final result to the host with a real transfer,
+    and difference two chain lengths so fixed overhead (dispatch, the one
+    d2h sync) cancels:  per_call = (T(k_long) - T(k_short)) / (k_long -
+    k_short).
+    """
+    x = step(x0)
+    fetch(x)  # compile finished + one real sync
+    totals = {}
+    for K in (k_short, k_long):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            x = step(x)
+        fetch(x)
+        totals[K] = time.perf_counter() - t0
+    dt = (totals[k_long] - totals[k_short]) / (k_long - k_short)
+    return max(dt, 1e-9), totals
+
+
+def run_verify(B: int) -> dict:
+    """Flagship metric: batched Ed25519 verify throughput on one chip.
+
+    Data prep is pure host (oracle-signed vectors tiled to B — the kernel
+    is constant-time, so repeated rows cannot change per-element work);
+    timing is dependency-chained (_chain_time); correctness is checked on
+    the untimed warmup output.
+    """
+    jax = _setup_jax()
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eccoxide_tpu.oracle import ed25519 as orc
+    from eccoxide_tpu.protocol.ed25519 import (
+        device_tables, sha512_batch_host, verify_core,
+    )
+
+    n_distinct = min(B, 128)
+    rng = random.Random(1234)
+    sks = [bytes(rng.randrange(256) for _ in range(32))
+           for _ in range(n_distinct)]
+    msgs = [bytes(rng.randrange(256) for _ in range(32))
+            for _ in range(n_distinct)]
+    pks = [orc.public_key(sk) for sk in sks]
+    sigs = [orc.sign(sk, m) for sk, m in zip(sks, msgs)]
+    rs = [s[:32] for s in sigs]
+    ss = [s[32:] for s in sigs]
+    kw = sha512_batch_host(
+        [r + pk + m for r, pk, m in zip(rs, pks, msgs)]
+    ).astype(np.int32)
+
+    def cols(bs):
+        return np.stack(
+            [np.frombuffer(b, np.uint8) for b in bs], axis=1
+        ).astype(np.int32)
+
+    reps = -(-B // n_distinct)  # ceil
+
+    def tile(a):
+        return jnp.asarray(np.tile(a, (1, reps))[:, :B])
+
+    pkb, rb, sb = tile(cols(pks)), tile(cols(rs)), tile(cols(ss))
+    kwb = tile(kw)
+    tabs = device_tables()
+
+    # correctness on the raw core first (untimed)
+    ok = jax.jit(verify_core)(pkb, rb, sb, kwb, tabs)
+    if not bool(np.asarray(ok).all()):
+        return {"metric": "ed25519_verify_per_sec_chip", "value": 0,
+                "unit": "ops/s", "vs_baseline": 0.0,
+                "error": "verification incorrect"}
+
+    # chained step: next pk depends on this call's ok mask (a no-op
+    # numerically: ok is all-ones, (pk + ok - 1) == pk, stays in range).
+    # Everything else rides as explicit args — closure-captured device
+    # arrays poison compile AND runtime on this backend (measured 200x).
+    def _step(pk, rb, sb, kwb, tabs):
+        ok = verify_core(pk, rb, sb, kwb, tabs)
+        return pk + ok.astype(jnp.int32)[None] - 1
+
+    jstep = jax.jit(_step)
+
+    def step(pk):
+        return jstep(pk, rb, sb, kwb, tabs)
+
+    dt, totals = _chain_time(step, pkb, lambda x: np.asarray(x[0, 0]))
+    rate = B / dt
+    return {"metric": "ed25519_verify_per_sec_chip", "value": round(rate, 1),
+            "unit": "ops/s", "vs_baseline": round(rate / TARGET_PER_CHIP, 4),
+            "batch": B, "sec_per_batch": round(dt, 6),
+            "chain_totals_s": {str(k): round(v, 3)
+                               for k, v in totals.items()}}
+
+
+def run_x25519(B: int) -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eccoxide_tpu.protocol import x25519 as px
+
+    rng = np.random.default_rng(7)
+    sb = jnp.asarray(rng.integers(0, 256, size=(32, B), dtype=np.int32))
+    ub = jnp.asarray(rng.integers(0, 256, size=(32, B), dtype=np.int32))
+    fn = jax.jit(px.x25519)
+
+    def step(u):  # chain: next u = this call's shared-secret bytes
+        return fn(sb, u)
+
+    dt, _ = _chain_time(step, ub, lambda x: np.asarray(x[0, 0]))
+    return {"metric": "x25519_per_sec_chip", "value": round(B / dt, 1),
+            "unit": "ops/s", "vs_baseline": 0.0, "batch": B,
+            "sec_per_batch": round(dt, 6)}
+
+
+def run_fieldmul(B: int) -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eccoxide_tpu.curves import curve25519 as c255
+
+    f = c255.FQ
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.integers(0, f.mask, size=(f.n, B), dtype=np.int32))
+    ys = jnp.asarray(rng.integers(0, f.mask, size=(f.n, B), dtype=np.int32))
+    fn = jax.jit(f.mul)
+
+    def step(z):  # chain: z <- z*y
+        return fn(z, ys)
+
+    dt, _ = _chain_time(step, xs, lambda x: np.asarray(x[0, 0]),
+                        k_short=16, k_long=144)
+    return {"metric": "field_mul_25519_per_sec_chip",
+            "value": round(B / dt, 1), "unit": "ops/s", "vs_baseline": 0.0,
+            "batch": B, "sec_per_batch": round(dt, 6)}
+
+
+CHILD_MODES = {"verify": run_verify, "x25519": run_x25519,
+               "fieldmul": run_fieldmul}
+
+
+def _child(mode: str, B: int) -> int:
+    try:
+        rec = CHILD_MODES[mode](B)
+    except Exception as e:  # noqa: BLE001 — report, parent falls back
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:400]}))
+        return 1
+    print(json.dumps(rec))
+    return 0
+
+
+def _try(mode: str, B: int, timeout_s: int):
+    """Run one measurement in a child process; returns dict or None."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    try:
+        cp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", mode,
+             str(B)],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# {mode} B={B}: timeout after {timeout_s}s", file=sys.stderr)
+        return None
+    for line in reversed(cp.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "error" in rec and "metric" not in rec:
+            print(f"# {mode} B={B}: {rec['error']}", file=sys.stderr)
+            return None
+        return rec
+    tail = (cp.stderr or "")[-300:]
+    print(f"# {mode} B={B}: rc={cp.returncode} no JSON; stderr tail: {tail}",
+          file=sys.stderr)
+    return None
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        sys.exit(_child(sys.argv[2], int(sys.argv[3])))
 
-    from __graft_entry__ import _example_verify_batch
-    from eccoxide_tpu.protocol.ed25519 import verify_core
-
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    pk, r, s, kw = _example_verify_batch(B)
-    args = tuple(jnp.asarray(a) for a in (pk, r, s, kw))
-
-    vfn = jax.jit(verify_core)
-    out = vfn(*args)
-    out.block_until_ready()
-    if not bool(np.asarray(out).all()):
-        print(json.dumps({"metric": "ed25519_verify_per_sec", "value": 0,
-                          "unit": "ops/s", "vs_baseline": 0.0,
-                          "error": "verification incorrect"}))
+    # explicit batch: single in-process run (manual experimentation)
+    if len(sys.argv) > 1:
+        print(json.dumps(run_verify(int(sys.argv[1]))))
         return
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = vfn(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    rate = B / dt
-    print(json.dumps({
-        "metric": "ed25519_verify_per_sec_chip",
-        "value": round(rate, 1),
-        "unit": "ops/s",
-        "vs_baseline": round(rate / 625000.0, 4),
-        "batch": B,
-        "sec_per_batch": round(dt, 4),
-    }))
+    # fallback ladder; first success wins. Warm the compile cache with a
+    # small batch first so a later timeout still leaves cached artifacts.
+    _try("verify", 64, 420)
+    for B, tmo in ((4096, 580), (2048, 540), (1024, 480), (256, 300),
+                   (64, 240)):
+        rec = _try("verify", B, tmo)
+        if rec is not None:
+            print(json.dumps(rec))
+            return
+    for mode, B, tmo in (("x25519", 1024, 420), ("fieldmul", 8192, 300)):
+        rec = _try(mode, B, tmo)
+        if rec is not None:
+            print(json.dumps(rec))
+            return
+    print(json.dumps({"metric": "ed25519_verify_per_sec_chip", "value": 0,
+                      "unit": "ops/s", "vs_baseline": 0.0,
+                      "error": "all fallback measurements failed"}))
 
 
 if __name__ == "__main__":

@@ -98,8 +98,13 @@ def main():
         sb = jnp.asarray(
             rng.integers(0, 256, size=(spec.scalar.n_bytes, B), dtype=np.int32)
         )
+        from eccoxide_tpu.params.comb import get_weierstrass_comb
+
+        wtabs = tuple(
+            jax.device_put(t) for t in get_weierstrass_comb(spec).tables()
+        )
         mb = jax.jit(spec.mul_base)
-        emit(f"mul_base_{cname}", _bench(mb, (sb,)))
+        emit(f"mul_base_{cname}", _bench(mb, (sb, wtabs)))
 
     # ---- curve25519 / protocols ----
     from eccoxide_tpu.protocol import x25519 as px
@@ -114,13 +119,14 @@ def main():
     G = ED.generator((B,))
     emit("ed_point_add", _bench(jax.jit(lambda P: ED.add(P, P)), (G,)))
     emit("ed_point_double", _bench(jax.jit(ED.double), (G,)))
+    edtabs = ped.device_tables()
     mb = jax.jit(ped.scalar_mul_base)
-    emit("ed_mul_base_comb", _bench(mb, (sbytes,)))
+    emit("ed_mul_base_comb", _bench(mb, (sbytes, edtabs)))
 
     from __graft_entry__ import _example_verify_batch
 
     pk, r, s, kw = _example_verify_batch(min(B, 4096))
-    vargs = tuple(jnp.asarray(a) for a in (pk, r, s, kw))
+    vargs = tuple(jnp.asarray(a) for a in (pk, r, s, kw)) + (edtabs,)
     vf = jax.jit(ped.verify_core)
     out = vf(*vargs)
     out.block_until_ready()

@@ -369,14 +369,15 @@ class WeierstrassCurveSpec:
         acc, _ = jax.lax.scan(body, acc, windows)
         return acc
 
-    def mul_base(self, scalar_bytes_le):
+    def mul_base(self, scalar_bytes_le, tables=None):
         """Comb fixed-base multiply (reference projective.rs:898-951 +
-        curve_macros.rs:55-63); falls back to generator scalar_mul when no
-        comb is registered."""
+        curve_macros.rs:55-63). The comb is always available (built lazily
+        by the oracle). ``tables`` threads the comb data as runtime arrays
+        (params/comb.py); None embeds constants (CPU tests only)."""
         from ..params.comb import get_weierstrass_comb
 
         comb = get_weierstrass_comb(self)
-        return comb.mul_base(scalar_bytes_le)
+        return comb.mul_base(scalar_bytes_le, tables)
 
     # -- SEC1 compressed wire format -----------------------------------
 

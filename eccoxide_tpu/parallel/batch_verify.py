@@ -22,22 +22,30 @@ from ..protocol import ed25519 as ped
 def make_sharded_verify(mesh: Mesh, axis: str = "dp"):
     """Returns a jitted verifier over (32,B)/(32,B)/(32,B)/(64,B) byte
     columns with B sharded across ``axis``. Outputs the per-element mask
-    (sharded) and the global accept count (replicated via psum)."""
+    (sharded) and the global accept count (replicated via psum). The comb
+    tables are threaded as replicated runtime arguments (params/comb.py
+    explains why they must not be embedded as constants)."""
 
     spec = P(None, axis)
+    tspec = (P(), P(), P())
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, tspec),
         out_specs=(P(axis), P()),
     )
-    def _verify(pk, r, s, kw):
-        ok = ped.verify_core(pk, r, s, kw)
+    def _verify(pk, r, s, kw, tables):
+        ok = ped.verify_core(pk, r, s, kw, tables)
         count = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), axis)
         return ok, count
 
-    return jax.jit(_verify)
+    jitted = jax.jit(_verify)
+
+    def call(pk, r, s, kw):
+        return jitted(pk, r, s, kw, ped.device_tables())
+
+    return call
 
 
 def shard_batch(mesh: Mesh, arr, axis: str = "dp"):

@@ -14,6 +14,14 @@ touched for every batch element).
 Tables are generated in milliseconds with the incremental oracle
 (4 doublings + 15 additions per window), so they are built lazily in-process
 rather than checked in.
+
+IMPORTANT (TPU runtime discipline): table data must be passed INTO jitted
+functions as runtime arguments, never closure-captured or embedded as
+constants. Embedding the ~250KB comb tables as XLA constants flips the
+remote TPU runtime into a persistently degraded dispatch mode (~50ms/call
+for every program thereafter, measured on v5e via axon). ``tables()``
+returns the host numpy data; callers stage it once with jax.device_put and
+thread it through their jit boundaries.
 """
 
 from __future__ import annotations
@@ -96,12 +104,23 @@ class EdwardsComb:
         # trace-local constants when the comb is first built under jit
         self.xs, self.ys, self.ts = xs, ys, ts
 
-    def mul_base(self, scalar_bytes):
+    def tables(self):
+        """Host numpy table data (xs, ys, ts), each (NW, 16, n) int32.
+        Stage once with jax.device_put and pass to mul_base as an
+        argument (see module docstring for why)."""
+        return (self.xs, self.ys, self.ts)
+
+    def mul_base(self, scalar_bytes, tables=None):
         """[s]B from (nbytes, B) LE scalar bytes; NW lookups + NW complete
-        mixed additions, no doublings."""
+        mixed additions, no doublings. ``tables`` is the (xs, ys, ts)
+        triple from .tables() threaded as runtime arrays; None falls back
+        to embedding constants (CPU tests only — never on TPU)."""
         spec = self.spec
         f = spec.field
         batch = scalar_bytes.shape[1:]
+        if tables is None:
+            tables = self.tables()
+        txs, tys, tts = (jnp.asarray(t) for t in tables)
         digits = jnp.stack(
             [
                 (scalar_bytes[i // 2] >> (4 * (i % 2))) & 0xF
@@ -122,11 +141,7 @@ class EdwardsComb:
 
         ident = spec.identity(batch)
         acc = type(ident)(*(c + scalar_bytes[0] * 0 for c in ident))
-        acc, _ = jax.lax.scan(
-            body,
-            acc,
-            (digits, jnp.asarray(self.xs), jnp.asarray(self.ys), jnp.asarray(self.ts)),
-        )
+        acc, _ = jax.lax.scan(body, acc, (digits, txs, tys, tts))
         return acc
 
 
@@ -155,12 +170,19 @@ class WeierstrassComb:
                 ys[i, j] = enc(y)
         self.xs, self.ys = xs, ys
 
-    def mul_base(self, scalar_bytes):
+    def tables(self):
+        """Host numpy table data (xs, ys), each (NW, 16, n) int32."""
+        return (self.xs, self.ys)
+
+    def mul_base(self, scalar_bytes, tables=None):
         from ..curves.weierstrass import ProjPoint
 
         spec = self.spec
         f = spec.field
         batch = scalar_bytes.shape[1:]
+        if tables is None:
+            tables = self.tables()
+        txs, tys = (jnp.asarray(t) for t in tables)
         digits = jnp.stack(
             [
                 (scalar_bytes[i // 2] >> (4 * (i % 2))) & 0xF
@@ -183,9 +205,7 @@ class WeierstrassComb:
 
         ident = spec.identity(batch)
         acc = type(ident)(*(c + scalar_bytes[0] * 0 for c in ident))
-        acc, _ = jax.lax.scan(
-            body, acc, (digits, jnp.asarray(self.xs), jnp.asarray(self.ys))
-        )
+        acc, _ = jax.lax.scan(body, acc, (digits, txs, tys))
         return acc
 
 

@@ -55,17 +55,16 @@ def windows_from_bytes_le(by, n_windows: int):
     return jnp.stack(outs)
 
 
-def scalar_mul_base(scalar_bytes):
-    """[s]B for (32, B) LE scalar bytes -> ExtPoint (generator fixed-base;
-    comb-table path plugs in here)."""
+def scalar_mul_base(scalar_bytes, tables=None):
+    """[s]B for (32, B) LE scalar bytes -> ExtPoint (comb fixed-base).
+
+    ``tables`` is the comb (xs, ys, ts) triple threaded as runtime arrays
+    (see params/comb.py module docstring); None embeds constants (CPU
+    tests only)."""
     from ..params.comb import get_comb
 
     comb = get_comb("edwards25519")
-    if comb is not None:
-        return comb.mul_base(scalar_bytes)
-    batch = (scalar_bytes.shape[1],)
-    w = windows_from_bytes_le(scalar_bytes, 64)
-    return ED.scalar_mul(ED.generator(batch), w)
+    return comb.mul_base(scalar_bytes, tables)
 
 
 def scalar_mul(point: ExtPoint, scalar_bytes):
@@ -100,24 +99,27 @@ def _scalar_from_clamped(a_bytes):
     return FL.from_wide_bytes_le(a_bytes)
 
 
-def r_point_core(r_wide_bytes):
+def r_point_core(r_wide_bytes, tables=None):
     """First device pass of signing: R = [r]B compressed (32, B)."""
     r = FL.from_wide_bytes_le(r_wide_bytes)
     r_bytes = FL.to_bytes_le(r)
-    return ED.compress(scalar_mul_base(r_bytes))
+    return ED.compress(scalar_mul_base(r_bytes, tables))
 
 
-def public_key_core(a_clamped_bytes):
+def public_key_core(a_clamped_bytes, tables=None):
     """A = [a]B compressed (32, B) (reference ed25519.rs:73-77)."""
     a = _scalar_from_clamped(a_clamped_bytes)
-    return ED.compress(scalar_mul_base(FL.to_bytes_le(a)))
+    return ED.compress(scalar_mul_base(FL.to_bytes_le(a), tables))
 
 
-def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes):
+def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes, tables=None):
     """Device part of verification: checks [S]B - [k]A == R via a joint
     Straus/Shamir double-scalar multiplication (one shared doubling chain
     for both scalars — the reference's separate mul_base + scale
     (ed25519.rs:137-140) costs twice the doublings).
+
+    ``tables`` is the comb (xs, ys, ts) triple as runtime arrays (only
+    window 0 is used); None embeds constants (CPU tests only).
 
     Returns a (B,) bool mask. Rejects non-canonical A/R encodings and
     non-canonical S (reference ed25519.rs:116-143)."""
@@ -126,33 +128,37 @@ def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes):
     s, ok_s = FL.from_bytes_le(s_bytes)
     k = FL.from_wide_bytes_le(k_wide_bytes)
     negA = ED.neg(A)
-    lhs = double_scalar_mul_base(FL.to_bytes_le(s), negA, FL.to_bytes_le(k))
+    w0 = None if tables is None else tuple(t[0] for t in tables)
+    lhs = double_scalar_mul_base(
+        FL.to_bytes_le(s), negA, FL.to_bytes_le(k), w0
+    )
     good = ED.eq(lhs, R)
     return jnp.logical_and(
         jnp.logical_and(ok_a, ok_r), jnp.logical_and(ok_s, good)
     )
 
 
-def double_scalar_mul_base(s_bytes, Q, k_bytes):
+def double_scalar_mul_base(s_bytes, Q, k_bytes, w0=None):
     """[s]B + [k]Q with one shared doubling chain (Straus interleaving,
-    4-bit windows): 64 x (4 dbl + 2 complete adds + 2 CT lookups)."""
+    4-bit windows): 64 x (4 dbl + 2 complete adds + 2 CT lookups).
+
+    ``w0`` is the generator's window-0 affine table (tx, ty, tt), each
+    (16, n) — the comb's first window ([j]B for j=0..15, z=1) reused as
+    the Straus base table. None embeds constants (CPU tests only)."""
     from ..curves.edwards import ExtPoint
 
     batch = (s_bytes.shape[1],)
     wq = windows_from_bytes_le(k_bytes, 64)
     tableQ = ED._window_table(Q, 4)
-    # generator window table from the comb constants (window 0 entries are
-    # [j]B affine, z=1) — reuse the comb's first window as the Straus base
-    # table to avoid building it at runtime
-    from ..params.comb import get_comb
-    import jax as _jax
 
-    comb = get_comb("edwards25519")
     ws = windows_from_bytes_le(s_bytes, 64)
     f = FQ
-    tx, ty, tt = (
-        jnp.asarray(comb.xs[0]), jnp.asarray(comb.ys[0]), jnp.asarray(comb.ts[0]),
-    )
+    if w0 is None:
+        from ..params.comb import get_comb
+
+        comb = get_comb("edwards25519")
+        w0 = (comb.xs[0], comb.ys[0], comb.ts[0])
+    tx, ty, tt = (jnp.asarray(t) for t in w0)
 
     def body(acc, digs):
         ds, dq = digs
@@ -189,6 +195,22 @@ def _jit(name, fn):
     return _jit_cache[name]
 
 
+_dev_tables = None
+
+
+def device_tables():
+    """Comb tables staged once on the default device, to be passed as
+    runtime arguments into the jitted cores (never embedded as
+    constants — see params/comb.py)."""
+    global _dev_tables
+    if _dev_tables is None:
+        from ..params.comb import get_comb
+
+        comb = get_comb("edwards25519")
+        _dev_tables = tuple(jax.device_put(t) for t in comb.tables())
+    return _dev_tables
+
+
 def _cols(bs: list[bytes]) -> jnp.ndarray:
     return jnp.asarray(
         np.stack([np.frombuffer(b, np.uint8) for b in bs], axis=1).astype(np.int32)
@@ -209,7 +231,7 @@ def expand_secret_host(sks: list[bytes]):
 
 def public_keys_host(sks: list[bytes]) -> list[bytes]:
     a, _ = expand_secret_host(sks)
-    pk = _jit("pk", public_key_core)(jnp.asarray(a))
+    pk = _jit("pk", public_key_core)(jnp.asarray(a), device_tables())
     return _rows(pk)
 
 
@@ -218,7 +240,7 @@ def sign_host(sks: list[bytes], msgs: list[bytes]) -> list[bytes]:
     a, prefixes = expand_secret_host(sks)
     pks = public_keys_host(sks)
     r_wide = sha512_batch_host([p + m for p, m in zip(prefixes, msgs)])
-    R = _rows(_jit("rpt", r_point_core)(jnp.asarray(r_wide)))
+    R = _rows(_jit("rpt", r_point_core)(jnp.asarray(r_wide), device_tables()))
     k_wide = sha512_batch_host(
         [rb + pk + m for rb, pk, m in zip(R, pks, msgs)]
     )
@@ -237,6 +259,6 @@ def verify_host(pks: list[bytes], msgs: list[bytes], sigs: list[bytes]) -> list[
         [r + pk + m for r, pk, m in zip(rs, pks, msgs)]
     )
     ok = _jit("vc", verify_core)(
-        _cols(pks), _cols(rs), _cols(ss), jnp.asarray(k_wide)
+        _cols(pks), _cols(rs), _cols(ss), jnp.asarray(k_wide), device_tables()
     )
     return [bool(v) for v in np.asarray(ok)]

@@ -56,15 +56,27 @@ def was_contributory(shared_bytes):
     return jnp.any(shared_bytes != 0, axis=0)
 
 
-# host-side convenience (single values, python bytes)
+# host-side convenience (single values, python bytes). The jitted graphs
+# are cached at module level — a fresh jax.jit per call would retrace
+# every invocation.
+_jit_x25519 = None
+_jit_x25519_base = None
+
+
 def x25519_host(scalar: bytes, u: bytes) -> bytes:
+    global _jit_x25519
+    if _jit_x25519 is None:
+        _jit_x25519 = jax.jit(x25519)
     sb = jnp.asarray(np.frombuffer(scalar, np.uint8).astype(np.int32)[:, None])
     ub = jnp.asarray(np.frombuffer(u, np.uint8).astype(np.int32)[:, None])
-    out = np.asarray(jax.jit(x25519)(sb, ub))
+    out = np.asarray(_jit_x25519(sb, ub))
     return bytes(int(out[i, 0]) for i in range(32))
 
 
 def x25519_base_host(scalar: bytes) -> bytes:
+    global _jit_x25519_base
+    if _jit_x25519_base is None:
+        _jit_x25519_base = jax.jit(x25519_base)
     sb = jnp.asarray(np.frombuffer(scalar, np.uint8).astype(np.int32)[:, None])
-    out = np.asarray(jax.jit(x25519_base)(sb))
+    out = np.asarray(_jit_x25519_base(sb))
     return bytes(int(out[i, 0]) for i in range(32))

@@ -48,14 +48,25 @@ def was_contributory(shared_bytes):
     return jnp.any(shared_bytes != 0, axis=0)
 
 
+# module-cached jits (a fresh jax.jit per call would retrace every time)
+_jit_x448 = None
+_jit_x448_base = None
+
+
 def x448_host(scalar: bytes, u: bytes) -> bytes:
+    global _jit_x448
+    if _jit_x448 is None:
+        _jit_x448 = jax.jit(x448)
     sb = jnp.asarray(np.frombuffer(scalar, np.uint8).astype(np.int32)[:, None])
     ub = jnp.asarray(np.frombuffer(u, np.uint8).astype(np.int32)[:, None])
-    out = np.asarray(jax.jit(x448)(sb, ub))
+    out = np.asarray(_jit_x448(sb, ub))
     return bytes(int(out[i, 0]) for i in range(56))
 
 
 def x448_base_host(scalar: bytes) -> bytes:
+    global _jit_x448_base
+    if _jit_x448_base is None:
+        _jit_x448_base = jax.jit(x448_base)
     sb = jnp.asarray(np.frombuffer(scalar, np.uint8).astype(np.int32)[:, None])
-    out = np.asarray(jax.jit(x448_base)(sb))
+    out = np.asarray(_jit_x448_base(sb))
     return bytes(int(out[i, 0]) for i in range(56))
