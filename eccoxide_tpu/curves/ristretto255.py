@@ -41,7 +41,9 @@ def _even_sqrt(x):
     return r if r % 2 == 0 else P - r
 
 
-SQRT_AD_MINUS_ONE = _even_sqrt(-1 - D)  # sqrt(a*d - 1), a = -1
+# RFC 9496 fixes SQRT_AD_MINUS_ONE to the ODD root (verified against the
+# A.3 one-way-map literals; the even root maps to the wrong point).
+SQRT_AD_MINUS_ONE = P - _even_sqrt(-1 - D)  # sqrt(a*d - 1), a = -1
 INVSQRT_A_MINUS_D = _even_sqrt(pow((-1 - D) % P, -1, P))
 
 

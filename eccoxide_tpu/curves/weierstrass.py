@@ -321,6 +321,42 @@ class WeierstrassCurveSpec:
         zi = f.inverse(P.z)
         return f.mul(P.x, zi), f.mul(P.y, zi)
 
+    # -- affine arithmetic (reference affine.rs:74-127) ----------------
+
+    def from_coordinate(self, x, y):
+        """(x, y) field elements -> (ProjPoint, on_curve_mask). The batched
+        analogue of the reference's PointAffine::from_coordinate
+        (affine.rs:74-87): the mask is False where y^2 != x^3 + ax + b."""
+        f = self.field
+        batch = x.shape[1:]
+        rhs = f.add(
+            f.mul(f.square(x), x),
+            f.add(f.mul(self._c(self.a, batch), x), self._c(self.b_coeff, batch)),
+        )
+        ok = f.eq(f.square(y), rhs)
+        return self.from_affine(x, y), ok
+
+    def affine_double(self, x, y):
+        """Affine doubling via field inversion: lambda = (3x^2 + a)/(2y)
+        (reference affine.rs:89-99). Returns (x', y'); garbage where
+        y == 0 (the reference returns the caller's contract violation)."""
+        f = self.field
+        batch = x.shape[1:]
+        num = f.add(f.mul_small(f.square(x), 3), self._c(self.a, batch))
+        lam = f.mul(num, f.inverse(f.double(y)))
+        x3 = f.sub(f.square(lam), f.double(x))
+        y3 = f.sub(f.mul(lam, f.sub(x, x3)), y)
+        return x3, y3
+
+    def affine_add_different(self, x1, y1, x2, y2):
+        """Affine addition of distinct points: lambda = (y2-y1)/(x2-x1)
+        (reference affine.rs:113-127). Garbage where x1 == x2."""
+        f = self.field
+        lam = f.mul(f.sub(y2, y1), f.inverse(f.sub(x2, x1)))
+        x3 = f.sub(f.sub(f.square(lam), x1), x2)
+        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        return x3, y3
+
     # -- scalar multiplication -----------------------------------------
 
     def _window_table(self, P: ProjPoint, w: int = 4):

@@ -578,6 +578,106 @@ class Field:
         reference curve25519.rs:191)."""
         return self.pow_const(x, self.p - 2)
 
+    # -- second, independent inverse path (cross-check discipline) -------
+
+    def _sr1(self, t, c_out=None):
+        """Halve a strict limb vector; c_out is an optional overflow bit
+        (value t + c_out*2^(b*n), guaranteed even)."""
+        lo = jnp.concatenate(
+            [(t[1:] & 1) << (self.b - 1),
+             jnp.zeros((1,) + t.shape[1:], jnp.int32)], axis=0
+        )
+        out = (t >> 1) | lo
+        if c_out is not None:
+            out = out.at[self.n - 1].add(c_out << (self.b - 1))
+        return out
+
+    def _strict_chain(self, t):
+        """Signed sequential carry pass; returns (strict limbs, carry_out).
+        carry_out is the final arithmetic carry (-1 borrow / 0 / +1)."""
+        cr = jnp.zeros_like(t[0])
+        out = t
+        for i in range(self.n):
+            v = out[i] + cr
+            cr = v >> self.b
+            out = out.at[i].set(v & self.mask)
+        return out, cr
+
+    def inverse_bingcd(self, x):
+        """Inverse by a fixed-trip masked binary extended GCD — a second
+        algorithm fully independent of the Fermat chain, mirroring the
+        reference's inverse_safegcd cross-check discipline
+        (field_macros.rs:653-731, agreement test :1105-1128). Returns 0
+        for 0 (invert_or_zero semantics).
+
+        State (a, g, u, w) with invariants a = u*x, g = w*x (mod p);
+        every iteration halves a or g, so bitlen(a)+bitlen(g) drops by
+        >= 1 per trip and 2*bits + 2 masked trips always terminate with
+        g = gcd = 1, w = x^-1."""
+        n, b = self.n, self.b
+        batch = x.shape[1:]
+        p_arr = jnp.asarray(self.p_np)
+
+        a = self.canon(self.from_mont(x) if self.kind == "mont" else x)
+        g = jnp.broadcast_to(p_arr, (n,) + batch).astype(jnp.int32) + a * 0
+        u = jnp.zeros_like(a).at[0].set(1)
+        w = jnp.zeros_like(a)
+
+        pb = self.bcast(p_arr.reshape(n, *(1,) * len(batch)), batch)
+
+        def half_mod(v):
+            # v even ? v/2 : (v + p)/2   (result < p)
+            odd = (v[0] & 1) == 1
+            t = v + jnp.where(odd[None], pb, 0)
+            t, cr = self._strict_chain(t)
+            return self._sr1(t, cr)
+
+        def sub_mod(v, y):
+            # v - y mod p
+            d, cr = self._strict_chain(v - y)
+            d2, _ = self._strict_chain(d + jnp.where((cr < 0)[None], pb, 0))
+            return d2
+
+        def body(st, _):
+            a, g, u, w = st
+            alive = jnp.logical_not(jnp.all(a == 0, axis=0))
+            a_even = (a[0] & 1) == 0
+            g_even = (g[0] & 1) == 0
+            d_ag, cr = self._strict_chain(a - g)   # a - g
+            a_ge_g = cr == 0
+            d_ga, _ = self._strict_chain(g - a)    # g - a
+
+            c1 = jnp.logical_and(alive, a_even)
+            c2 = jnp.logical_and(alive, jnp.logical_and(~a_even, g_even))
+            c34 = jnp.logical_and(alive, jnp.logical_and(~a_even, ~g_even))
+            c3 = jnp.logical_and(c34, a_ge_g)
+            c4 = jnp.logical_and(c34, ~a_ge_g)
+
+            half_a = self._sr1(a)
+            half_g = self._sr1(g)
+            a2 = jnp.where(c1[None], half_a,
+                 jnp.where(c3[None], self._sr1(d_ag), a))
+            g2 = jnp.where(c2[None], half_g,
+                 jnp.where(c4[None], self._sr1(d_ga), g))
+            hu = half_mod(u)
+            hw = half_mod(w)
+            huw = half_mod(sub_mod(u, w))
+            hwu = half_mod(sub_mod(w, u))
+            u2 = jnp.where(c1[None], hu, jnp.where(c3[None], huw, u))
+            w2 = jnp.where(c2[None], hw, jnp.where(c4[None], hwu, w))
+            return (a2, g2, u2, w2), None
+
+        (a, g, u, w), _ = jax.lax.scan(
+            body, (a, g, u, w), None, length=2 * self.bits + 2
+        )
+        # non-invertible (x == 0) -> w stays 0 only if gcd != 1; force 0
+        is_inv = jnp.all(g == jnp.zeros_like(g).at[0].set(1), axis=0)
+        w = jnp.where(is_inv[None], w, jnp.zeros_like(w))
+        if self.kind == "mont":
+            r2 = jnp.asarray(int_to_limbs(self.R2, n, b))
+            return self.mul(w, self.bcast(r2, batch))
+        return w
+
     def is_square(self, x):
         """Euler criterion (reference p224r1.rs:99 is_quadratic_residue)."""
         ls = self.pow_const(x, (self.p - 1) // 2)
@@ -602,32 +702,78 @@ class Field:
         return r, ok
 
     def _tonelli_shanks(self, x):
+        """Constant-time Tonelli-Shanks via divide-and-conquer Pohlig-
+        Hellman discrete log in the 2-Sylow subgroup: O(s log s) total
+        field muls instead of the textbook masked loop's O(s^2)
+        (reference p224r1.rs:69-142 uses the variable-time loop; here the
+        recursion happens at trace time, so the XLA graph is fixed and
+        data-independent).
+
+        With c = z^q a generator of the order-2^s subgroup, write
+        x^q = c^e. x is a QR iff e is even, and then
+        sqrt(x) = x^((q+1)/2) * c^(-e/2). The bits of e are extracted by
+        _dlog_pow2; the final correction applies c^(-2^(j-1)) per set
+        bit e_j (masked multiplies by public constants)."""
         q, s = self.ts_q, self.ts_s
-        one = self.one(x.shape[1:])
-        c = self.bcast(self.const(pow(self.ts_z, q, self.p)), x.shape[1:]) + x * 0
-        t = self.pow_const(x, q)
+        c_int = pow(self.ts_z, q, self.p)
+        cnegs = [pow(c_int, -(1 << m), self.p) for m in range(s)]
+        t0 = self.pow_const(x, q)
         r = self.pow_const(x, (q + 1) // 2)
-
-        # i runs s, s-1, ..., 2 (s-1 iterations); inner squarings are masked
-        # to a fixed trip count so the whole loop is constant-time.
-        def outer(carry, i):
-            r, t, c = carry
-            # tmp = t^(2^(i-2)) with fixed s-2 masked squarings
-            def inner(j, tmp):
-                do = j < (i - 2)
-                sq = self.square(tmp)
-                return self.select(jnp.broadcast_to(do, tmp.shape[1:]), sq, tmp)
-
-            tmp = jax.lax.fori_loop(0, max(s - 2, 0), inner, t)
-            e = self.eq(tmp, one)
-            r = self.select(e, r, self.mul(r, c))
-            c = self.square(c)
-            t = self.select(e, t, self.mul(t, c))
-            return (r, t, c), None
-
-        iis = jnp.arange(s, 1, -1, dtype=jnp.int32)
-        (r, t, c), _ = jax.lax.scan(outer, (r, t, c), iis)
+        bits = self._dlog_pow2(t0, s, 0, c_int, cnegs)
+        # r *= c^(-e/2): one masked multiply per bit, scan-driven
+        r = self._masked_mul_chain(r, [cnegs[j - 1] for j in range(1, s)],
+                                   bits[1:])
         return r
+
+    def _masked_mul_chain(self, w, const_ints, bits):
+        """w *= prod const_ints[j]^bits[j], as one lax.scan (compact
+        graph: a single masked-mul body)."""
+        batch = w.shape[1:]
+        consts = jnp.stack([self.const(v) for v in const_ints])  # (k,n,1)
+        bstack = jnp.stack(bits)  # (k, B)
+
+        def body(acc, xs):
+            cst, bit = xs
+            return self.select(bit, self.mul(acc, self.bcast(cst, batch)),
+                               acc), None
+
+        w, _ = jax.lax.scan(body, w, (consts, bstack))
+        return w
+
+    _DLOG_LEAF = 4
+
+    def _dlog_pow2(self, v, k, m, c_int, cnegs):
+        """Bits (LSB first) of e where v = g^e, g = c^(2^m) of order 2^k
+        (m + k == s). Divide-and-conquer Pohlig-Hellman at trace time:
+        T(k) = 2 T(k/2) + O(k) => O(k log k) field muls total, with the
+        squaring chains as fori_loops and the correction products as
+        scans so the traced graph stays O(k) small bodies. Leaves of
+        k <= 4 bits are solved by direct comparison against the 2^k
+        public constants g^i (one canon, then cheap vector compares)."""
+        batch = v.shape[1:]
+        if k <= self._DLOG_LEAF:
+            g = pow(c_int, 1 << m, self.p)
+            vc = self.canon(v)
+            bits = [jnp.zeros(batch, bool) for _ in range(k)]
+            for i in range(1 << k):
+                ci = self.bcast(self.const(pow(g, i, self.p)), batch)
+                hit = jnp.all(vc == ci, axis=0)
+                for j in range(k):
+                    if (i >> j) & 1:
+                        bits[j] = jnp.logical_or(bits[j], hit)
+            return bits
+        k1 = k // 2
+        k2 = k - k1
+        # low half: v^(2^k2) lies in the order-2^k1 subgroup generated by
+        # c^(2^(m+k2)); its dlog is e mod 2^k1
+        vlo = jax.lax.fori_loop(0, k2, lambda i, t: self.square(t), v)
+        bits_lo = self._dlog_pow2(vlo, k1, m + k2, c_int, cnegs)
+        # strip the low half: w = v * g^-(e mod 2^k1) = (c^(2^(m+k1)))^e_hi
+        w = self._masked_mul_chain(
+            v, [cnegs[m + j] for j in range(k1)], bits_lo
+        )
+        bits_hi = self._dlog_pow2(w, k2, m + k1, c_int, cnegs)
+        return bits_lo + bits_hi
 
     # ------------------------------------------------------------------
     # byte serde (wire format; canonicality-checked like fiat from_bytes,
@@ -687,6 +833,11 @@ class Field:
             b_ = self.mul(v1, jnp.asarray(self.R3_np))  # v1*R^2*... = v1*R*R
             return self.add(a, b_)
         return self.reduce_wide(wide)
+
+    def from_wide_bytes_be(self, by):
+        """Big-endian twin of from_wide_bytes_le (the reference exposes
+        both: init_from_wide_bytes_{le,be}, field_macros.rs:284-302)."""
+        return self.from_wide_bytes_le(by[::-1])
 
     # host-side helpers -------------------------------------------------
 

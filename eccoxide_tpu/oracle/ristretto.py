@@ -27,7 +27,12 @@ def _even_sqrt(x):
     return _abs(r)
 
 
-SQRT_AD_MINUS_ONE = _even_sqrt(-1 - D)
+# RFC 9496 fixes SQRT_AD_MINUS_ONE to the ODD root of a*d - 1 (the even
+# root encodes a different — wrong — point through the Elligator map; the
+# mistake was caught by the A.3 one-way-map literals, not by any
+# self-consistency test: a shared even-root convention here and in
+# curves/ristretto255.py agreed with itself and disagreed with the RFC).
+SQRT_AD_MINUS_ONE = P - _even_sqrt(-1 - D)
 INVSQRT_A_MINUS_D = _even_sqrt(pow((-1 - D) % P, -1, P))
 
 

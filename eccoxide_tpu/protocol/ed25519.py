@@ -1,9 +1,9 @@
 """Ed25519 (RFC 8032 PureEdDSA), batched.
 
 TPU-native counterpart of /root/reference/src/protocol/ed25519.rs. Design
-split: SHA-512 runs on the host (hashlib now; native C++ batched hashing is
-the planned fast path — hashing is outside the reference's own metric too,
-it delegates to cryptoxide, ed25519.rs:11-17), while all curve/scalar math
+split: SHA-512 runs on the host via the native C++ threaded batch hasher
+(ops/sha512.py; hashing is outside the reference's own metric too — it
+delegates to cryptoxide, ed25519.rs:11-17), while all curve/scalar math
 — wide reduction (ed25519.rs:21-23), fixed-base mul (curve25519.rs:775),
 variable-base CT mul (curve25519.rs:676-687), point codec (ed25519.rs:
 27-56) — runs batched on device.
@@ -13,8 +13,6 @@ handle Python bytes and hashing.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import jax
@@ -29,11 +27,15 @@ ED = c255.EDWARDS
 
 
 def sha512_batch_host(msgs: list[bytes]) -> np.ndarray:
-    """Host-side batched SHA-512 -> (64, B) int32 byte columns."""
-    out = np.zeros((64, len(msgs)), dtype=np.int32)
-    for j, m in enumerate(msgs):
-        out[:, j] = np.frombuffer(hashlib.sha512(m).digest(), np.uint8)
-    return out
+    """Host-side batched SHA-512 -> (64, B) int32 byte columns.
+
+    Delegates to the native C++/threaded backend (ops/sha512.py, which
+    itself falls back to per-message hashlib if the shared library cannot
+    be built). Hashing is the host half of the pipeline — the reference
+    likewise delegates to an external hash (ed25519.rs:11-17)."""
+    from ..ops.sha512 import sha512_batch
+
+    return sha512_batch(msgs)
 
 
 def clamp_scalar_bytes(h: np.ndarray) -> np.ndarray:
@@ -224,9 +226,12 @@ def _rows(arr) -> list[bytes]:
 
 def expand_secret_host(sks: list[bytes]):
     """B secret keys -> (clamped scalar cols (32,B) np, prefixes list)."""
-    hs = [hashlib.sha512(sk).digest() for sk in sks]
-    a = np.stack([np.frombuffer(h[:32], np.uint8) for h in hs], axis=1).astype(np.int32)
-    return clamp_scalar_bytes(a), [h[32:] for h in hs]
+    h_cols = sha512_batch_host(sks)  # (64, B) int32
+    a = h_cols[:32].copy()
+    prefixes = [
+        bytes(h_cols[32:, j].astype(np.uint8)) for j in range(h_cols.shape[1])
+    ]
+    return clamp_scalar_bytes(a), prefixes
 
 
 def public_keys_host(sks: list[bytes]) -> list[bytes]:

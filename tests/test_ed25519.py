@@ -101,3 +101,47 @@ def test_batched_verify_accept_reject():
     if s_int + L < 2**256:
         forged = sigs[0][:32] + (s_int + L).to_bytes(32, "little")
         assert ped.verify_host([pks[0]], [msgs[0]], [forged]) == [False]
+
+
+# RFC 8032 §7.1 TESTs 2 and 3 (reference ed25519.rs:268-287)
+RFC_VECTORS = [
+    (T1_SK, T1_PK, b"", T1_SIG),
+    (
+        bytes.fromhex(
+            "4ccd089b28ff96da9db6c346ec114e0f5b8a319f35aba624da8cf6ed4fb8a6fb"
+        ),
+        bytes.fromhex(
+            "3d4017c3e843895a92b70aa74d1b7ebc9c982ccf2ec4968cc0cd55f12af4660c"
+        ),
+        bytes.fromhex("72"),
+        bytes.fromhex(
+            "92a009a9f0d4cab8720e820b5f642540a2b27b5416503f8fb3762223ebdb69da"
+            "085ac1e43e15996e458f3613d0f11d8c387b2eaeb4302aeeb00d291612bb0c00"
+        ),
+    ),
+    (
+        bytes.fromhex(
+            "c5aa8df43f9f837bedb7442f31dcb7b166d38535076f094b85ce3a2e0b4458f7"
+        ),
+        bytes.fromhex(
+            "fc51cd8e6218a1a38da47ed00230f0580816ed13ba3303ac5deb911548908025"
+        ),
+        bytes.fromhex("af82"),
+        bytes.fromhex(
+            "6291d657deec24024827e69c3abe01a30ce548a284743a445e3680d7db5ac3ac"
+            "18ff9b538d16f290ae67f760984dc6594a7c15e9716ed28dc027beceea1ec40a"
+        ),
+    ),
+]
+
+
+def test_rfc8032_tests_1_2_3_batched():
+    """All three §7.1 vectors through one batched sign + verify call
+    (reference ed25519.rs:295-313 rfc8032_vectors)."""
+    sks = [v[0] for v in RFC_VECTORS]
+    pks = [v[1] for v in RFC_VECTORS]
+    msgs = [v[2] for v in RFC_VECTORS]
+    sigs = [v[3] for v in RFC_VECTORS]
+    assert ped.public_keys_host(sks) == pks
+    assert ped.sign_host(sks, msgs) == sigs
+    assert ped.verify_host(pks, msgs, sigs) == [True, True, True]

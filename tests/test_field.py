@@ -180,3 +180,32 @@ def test_canon_eq(fld):
     eq = np.asarray(J(fld, "eq")(X, Y))
     assert eq.tolist() == [True, True, False, False]
     assert np.asarray(J(fld, "is_zero")(X)).tolist() == [False, True, False, False]
+
+
+def test_inverse_bingcd_agrees_with_fermat(fld):
+    """Two independent inversion algorithms must agree — the reference's
+    safegcd-vs-Fermat cross-check (field_macros.rs:1105-1128)."""
+    vals = rand_vals(fld.p, 10, 77)
+    x = fld.encode_ints(vals)
+    a = J(fld, "inverse")(x)
+    b = J(fld, "inverse_bingcd")(x)
+    ia, ib = fld.decode_ints(a), fld.decode_ints(b)
+    assert ia == ib
+    for v, g in zip(vals, ib):
+        assert g == (pow(v, -1, fld.p) if v else 0)
+
+
+def test_from_wide_bytes_be_matches_le(fld):
+    """BE wide load is the byte-reversed LE load (field_macros.rs:284-302)."""
+    rng = random.Random(55)
+    nb = 2 * fld.n_bytes
+    cols = np.array(
+        [[rng.randrange(256) for _ in range(6)] for _ in range(nb)], np.int32
+    )
+    a = J(fld, "from_wide_bytes_le")(jnp.asarray(cols))
+    b = J(fld, "from_wide_bytes_be")(jnp.asarray(cols[::-1].copy()))
+    assert fld.decode_ints(a) == fld.decode_ints(b)
+    # oracle check
+    for j in range(cols.shape[1]):
+        v = int.from_bytes(bytes(cols[:, j].astype(np.uint8)), "little")
+        assert fld.decode_ints(a)[j] == v % fld.p

@@ -81,3 +81,58 @@ def test_nist_kats_ct_scalar_mul(name):
     for (khex, xhex, yhex), x, y in zip(vecs, xs, ys):
         assert x == int(xhex, 16), f"{name} k={khex}: x mismatch (CT path)"
         assert y == int(yhex, 16), f"{name} k={khex}: y mismatch (CT path)"
+
+
+# ---------------------------------------------------------------------------
+# Sage-generated p256k1 KATs (reference src/tests/sage.rs:9-1368; data in
+# kats_sage_p256k1.py). p256k1 is not covered by the NIST corpus, so this
+# is its external oracle: generator, add-same, add-different, and [n]G for
+# n = 1..100 through the batched public API.
+# ---------------------------------------------------------------------------
+
+from kats_sage_p256k1 import SAGE_P256K1
+
+
+def _affine_ints(curve, R):
+    ax, ay = curve.to_affine(R)
+    return curve.field.decode_ints(ax), curve.field.decode_ints(ay)
+
+
+def test_sage_p256k1_generator_and_adds():
+    curve = sec2.get_curve("p256k1")
+    n1, x1, y1 = SAGE_P256K1[0]
+    n2, x2, y2 = SAGE_P256K1[1]
+    n3, x3, y3 = SAGE_P256K1[2]
+    assert (n1, n2, n3) == (1, 2, 3)
+
+    def graph():
+        G = curve.generator((1,))
+        G2 = curve.add(G, G)  # add_same via complete formulas
+        P2 = curve.from_affine(
+            curve.field.encode_ints([int(x2, 16)]),
+            curve.field.encode_ints([int(y2, 16)]),
+        )
+        G3 = curve.add(G, P2)  # add_different
+        return G, G2, G3
+
+    key = "sage_adds"
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(graph)
+    G, G2, G3 = _jit_cache[key]()
+    for R, xh, yh in ((G, x1, y1), (G2, x2, y2), (G3, x3, y3)):
+        xs, ys = _affine_ints(curve, R)
+        assert xs[0] == int(xh, 16) and ys[0] == int(yh, 16)
+
+
+@pytest.mark.slow
+def test_sage_p256k1_mul_all_100():
+    curve = sec2.get_curve("p256k1")
+    ks = [n for n, _, _ in SAGE_P256K1]
+    key = "sage_mul"
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(curve.mul_base)
+    R = _jit_cache[key](_scalar_bytes_le(curve, ks))
+    xs, ys = _affine_ints(curve, R)
+    for (n, xh, yh), x, y in zip(SAGE_P256K1, xs, ys):
+        assert x == int(xh, 16), f"n={n}: x mismatch"
+        assert y == int(yh, 16), f"n={n}: y mismatch"

@@ -106,3 +106,40 @@ def test_group_law_and_eq():
 
     ok = J("law", law)(_windows(ks), _windows(js), _windows(sums, nw=65))
     assert bool(np.all(np.asarray(ok)))
+
+
+# ---------------------------------------------------------------------------
+# Full RFC 9496 appendix literals (kats_rfc9496.py; reference
+# ristretto255.rs:283-341,343-386)
+# ---------------------------------------------------------------------------
+
+from kats_rfc9496 import A1_MULTIPLES, A2_BAD, A3_UNIFORM
+
+
+def test_rfc9496_a1_all_16_multiples():
+    ks = list(range(16))
+    fn = J("mulbase", lambda w: rz.compress(
+        rz.scalar_mul(rz.generator((w.shape[1],)), w)))
+    got = rows(fn(_windows(ks)))
+    assert got == [bytes.fromhex(h) for h in A1_MULTIPLES]
+
+
+def test_rfc9496_a1_roundtrip():
+    """All 16 A.1 encodings decompress (ok) and re-compress identically."""
+    enc = [bytes.fromhex(h) for h in A1_MULTIPLES]
+    pt, ok = J("dec", rz.decompress)(cols(enc))
+    assert np.asarray(ok).all()
+    assert rows(J("comp", rz.compress)(pt)) == enc
+
+
+def test_rfc9496_a2_all_17_rejected():
+    bad = [bytes.fromhex(h) for h in A2_BAD]
+    _, ok = J("dec", rz.decompress)(cols(bad))
+    assert not np.asarray(ok).any(), np.asarray(ok).tolist()
+
+
+def test_rfc9496_a3_one_way_map_literals():
+    ins = [bytes.fromhex(i) for i, _ in A3_UNIFORM]
+    outs = [bytes.fromhex(o) for _, o in A3_UNIFORM]
+    fn = J("map", lambda by: rz.compress(rz.from_uniform_bytes(by)))
+    assert rows(fn(cols(ins))) == outs

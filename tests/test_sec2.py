@@ -166,3 +166,83 @@ def test_compress_roundtrip(curve):
         expect = bytes([2 + (ey & 1)]) + ex.to_bytes(curve.field.n_bytes, "big")
         got = bytes(int(bya[i, j]) for i in range(bya.shape[0]))
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Remaining-curve coverage (VERDICT r1 #5): every curve of the reference's
+# 15 (sec2/mod.rs) must have at least KAT + completeness coverage. The
+# curves not in the tiers above run one fused graph each (KAT mul vs
+# oracle, completeness props, comb agreement in a single jit) to bound
+# compile time.
+# ---------------------------------------------------------------------------
+
+OTHER_CURVES = [
+    "p192r1", "p224k1",  # fiat tier, previously untested (VERDICT Weak #4)
+    "p112r2", "p128r1", "p128r2", "p160k1", "p160r1", "p160r2",  # small tier
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", [pytest.param(c, id=c) for c in OTHER_CURVES]
+)
+def test_other_curves_kat_and_completeness(name):
+    curve = sec2.get_curve(name)
+    o = oracle_of(name)
+    rng = random.Random(hash(name) & 0xFFF7)
+    ks = [1, 2, o.order - 1] + [rng.randrange(1, o.order) for _ in range(3)]
+
+    def fused(w, sb):
+        B = w.shape[1]
+        G = curve.generator((B,))
+        P = curve.scalar_mul(G, w)
+        ax, ay = curve.to_affine(P)
+        # completeness: P+P == 2P, P + (-P) == inf, P + inf == P
+        e1 = curve.eq(curve.add(P, P), curve.double(P))
+        e2 = curve.is_identity(curve.add(P, curve.neg(P)))
+        e3 = curve.eq(curve.add(P, curve.identity((B,))), P)
+        # comb agreement (completeness.rs:96-117)
+        C = curve.mul_base(sb)
+        e4 = curve.eq(C, P)
+        return ax, ay, e1, e2, e3, e4
+
+    key = (name, "fused")
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(fused)
+    ax, ay, e1, e2, e3, e4 = _jit_cache[key](
+        _windows(curve, ks), _scalar_bytes_le(curve, ks)
+    )
+    xs = curve.field.decode_ints(ax)
+    ys = curve.field.decode_ints(ay)
+    for k, x, y in zip(ks, xs, ys):
+        assert (x, y) == o.mul_base(k), f"{name}: k={k}"
+    for e in (e1, e2, e3, e4):
+        assert bool(np.all(np.asarray(e))), name
+
+
+def test_affine_api_p256r1():
+    """Affine add/double/from_coordinate (reference affine.rs:74-127),
+    cross-checked against the projective path and the oracle."""
+    curve = sec2.get_curve("p256r1")
+    o = oracle_of("p256r1")
+    x1, y1 = o.mul_base(5)
+    x2, y2 = o.mul_base(9)
+    f = curve.field
+
+    def graph(ax1, ay1, ax2, ay2):
+        P, ok = curve.from_coordinate(ax1, ay1)
+        bad_ok = curve.from_coordinate(ax1, ay2)[1]  # wrong y: off-curve
+        dx, dy = curve.affine_double(ax1, ay1)
+        sx, sy = curve.affine_add_different(ax1, ay1, ax2, ay2)
+        return ok, bad_ok, dx, dy, sx, sy
+
+    key = ("p256r1", "affine")
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(graph)
+    ok, bad_ok, dx, dy, sx, sy = _jit_cache[key](
+        f.encode_ints([x1]), f.encode_ints([y1]),
+        f.encode_ints([x2]), f.encode_ints([y2]),
+    )
+    assert bool(np.asarray(ok)[0]) and not bool(np.asarray(bad_ok)[0])
+    assert (f.decode_ints(dx)[0], f.decode_ints(dy)[0]) == o.mul_base(10)
+    assert (f.decode_ints(sx)[0], f.decode_ints(sy)[0]) == o.mul_base(14)

@@ -100,3 +100,32 @@ def test_contributory():
         jnp.asarray(np.zeros((32, 1), np.int32))
     )
     assert not bool(mask[0])
+
+
+# RFC 7748 §5.2 test vector 2 (reference x25519.rs:127-133)
+V2_SCALAR = bytes.fromhex(
+    "4b66e9d4d1b4673c5ad22691957d6af5c11b6421e0ea01d42ca4169e7918ba0d"
+)
+V2_U = bytes.fromhex(
+    "e5210f12786811d3f4b7959d0538ae2c31dbe7106fc03c3efc4cd549c715a493"
+)
+V2_OUT = bytes.fromhex(
+    "95cbde9476e8907d7aade45cb4b873f88b595a68799fa152e6f8f7647aac7957"
+)
+
+# RFC 7748 §5.2: one iteration of the base-point recurrence
+# (reference x25519.rs:135-141)
+IT1_K = bytes.fromhex(
+    "0900000000000000000000000000000000000000000000000000000000000000"
+)
+IT1_OUT = bytes.fromhex(
+    "422c8e7a6227d7bca1350b3e2bb7279f7897b87bb6854b783c60e80311ae3079"
+)
+
+
+def test_rfc7748_vector2():
+    assert px.x25519_host(V2_SCALAR, V2_U) == V2_OUT
+
+
+def test_rfc7748_iterated_once():
+    assert px.x25519_base_host(IT1_K) == IT1_OUT
