@@ -53,8 +53,13 @@ class EdwardsCurveSpec:
 
     # ------------------------------------------------------------------
 
-    def double(self, p: ExtPoint) -> ExtPoint:
-        """dbl-2008-hwcd; complete, any a (reference curve25519.rs:626-642)."""
+    def double(self, p: ExtPoint, need_t: bool = True) -> ExtPoint:
+        """dbl-2008-hwcd; complete, any a (reference curve25519.rs:626-642).
+
+        ``need_t=False`` skips the E*H product: only additions consume the
+        extended T coordinate, so the first w-1 doubles of a window chain
+        can run 7M instead of 8M (t is set to 0 — callers must not add
+        from such a point without re-doubling)."""
         f = self.field
         A = f.square(p.x)
         B = f.square(p.y)
@@ -67,7 +72,8 @@ class EdwardsCurveSpec:
         G = f.add(D, B)
         Fv = f.sub(G, C)
         H = f.sub(D, B)
-        return ExtPoint(f.mul(E, Fv), f.mul(G, H), f.mul(Fv, G), f.mul(E, H))
+        t = f.mul(E, H) if need_t else E * 0
+        return ExtPoint(f.mul(E, Fv), f.mul(G, H), f.mul(Fv, G), t)
 
     def add(self, p: ExtPoint, q: ExtPoint) -> ExtPoint:
         """Complete addition. a=-1: add-2008-hwcd-3 (reference
@@ -216,8 +222,8 @@ class EdwardsCurveSpec:
         table = self._window_table(p, w)
 
         def body(acc, dig):
-            for _ in range(w):
-                acc = self.double(acc)
+            for i in range(w):
+                acc = self.double(acc, need_t=(i == w - 1))
             q = self._ct_lookup(table, dig, w)
             return self.add(acc, q), None
 
@@ -252,8 +258,10 @@ class EdwardsCurveSpec:
         y2 = f.square(y)
         u = f.sub(y2, one)
         v = f.add(f.mul(f.bcast(f.const(self.d % f.p), y.shape[1:]), y2), one)
-        x2 = f.mul(u, f.inverse(v))
-        x, is_sq = f.sqrt(x2)
+        # x = sqrt(u/v) in ONE fused pow chain (sqrt_ratio; the naive
+        # inverse-then-sqrt costs two ~250-squaring chains and measured
+        # 32% of the whole verify step on TPU)
+        x, is_sq = f.sqrt_ratio(u, v)
         valid = jnp.logical_and(valid, is_sq)
         # choose root with requested sign
         xs = f.sgn0(x)

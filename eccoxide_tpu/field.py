@@ -701,6 +701,34 @@ class Field:
         ok = self.eq(self.square(r), x)
         return r, ok
 
+    def sqrt_ratio(self, u, v):
+        """(root, ok) with root^2 == u/v when ok (v != 0). For p = 5 mod 8
+        this fuses the inverse and the sqrt into ONE pow chain:
+        r = u*v^3 * (u*v^7)^((p-5)/8), flipped by sqrt(-1) when
+        v*r^2 == -u (the reference computes x the same way,
+        curve25519.rs:702-719 via sqrt_ratio structure). Other prime
+        classes fall back to inverse + sqrt (two chains)."""
+        if self.sqrt_kind != "p5mod8":
+            r, ok = self.sqrt(self.mul(u, self.inverse(v)))
+            return r, ok
+        batch = u.shape[1:]
+        v3 = self.mul(self.square(v), v)
+        v7 = self.mul(self.square(v3), v)
+        r = self.mul(
+            self.mul(u, v3),
+            self.pow_const(self.mul(u, v7), (self.p - 5) // 8),
+        )
+        check = self.mul(v, self.square(r))
+        sqrt_m1 = pow(self.ts_z if hasattr(self, "ts_z") else 2,
+                      (self.p - 1) // 4, self.p)
+        i = self.bcast(self.const(sqrt_m1), batch) + u * 0
+        neg_u = self.neg(u)
+        correct = self.eq(check, u)
+        flipped = self.eq(check, neg_u)
+        r = self.select(flipped, self.mul(r, i), r)
+        ok = jnp.logical_or(correct, flipped)
+        return r, ok
+
     def _tonelli_shanks(self, x):
         """Constant-time Tonelli-Shanks via divide-and-conquer Pohlig-
         Hellman discrete log in the 2-Sylow subgroup: O(s log s) total

@@ -9,7 +9,6 @@ columns. For throughput, use the batched functions directly.
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass
 
 from . import x25519 as _x25519
@@ -108,14 +107,18 @@ class Ed25519Keypair:
 
     def __init__(self, secret: bytes):
         self.secret = secret
-        h = hashlib.sha512(secret).digest()
-        self._prefix = h[32:]
+        a, prefixes = _ed25519.expand_secret_host([secret])
+        self._a = a
+        self._prefix = prefixes[0]
         self.public = Ed25519PublicKey(
             _ed25519.public_keys_host([secret])[0]
         )
 
     def sign(self, message: bytes) -> bytes:
-        return _ed25519.sign_host([self.secret], [message])[0]
+        # cached fast path: no secret re-expansion, no pk re-derivation
+        return _ed25519.sign_with_expanded_host(
+            self._a, [self._prefix], [self.public.bytes], [message]
+        )[0]
 
     def verify(self, message: bytes, signature: bytes) -> bool:
         return self.public.verify(message, signature)

@@ -164,8 +164,8 @@ def double_scalar_mul_base(s_bytes, Q, k_bytes, w0=None):
 
     def body(acc, digs):
         ds, dq = digs
-        for _ in range(4):
-            acc = ED.double(acc)
+        for i in range(4):
+            acc = ED.double(acc, need_t=(i == 3))
         sel = (jnp.arange(16, dtype=jnp.int32)[:, None] == ds[None, :]).astype(
             jnp.int32
         )
@@ -240,10 +240,10 @@ def public_keys_host(sks: list[bytes]) -> list[bytes]:
     return _rows(pk)
 
 
-def sign_host(sks: list[bytes], msgs: list[bytes]) -> list[bytes]:
-    assert len(sks) == len(msgs)
-    a, prefixes = expand_secret_host(sks)
-    pks = public_keys_host(sks)
+def sign_with_expanded_host(a, prefixes, pks, msgs) -> list[bytes]:
+    """Sign with pre-expanded secrets (the reference's cached-Keypair fast
+    path, ed25519.rs:91-107 sign_with_public): a = clamped scalar cols
+    (32, B), prefixes/pks as byte lists."""
     r_wide = sha512_batch_host([p + m for p, m in zip(prefixes, msgs)])
     R = _rows(_jit("rpt", r_point_core)(jnp.asarray(r_wide), device_tables()))
     k_wide = sha512_batch_host(
@@ -255,6 +255,13 @@ def sign_host(sks: list[bytes], msgs: list[bytes]) -> list[bytes]:
         )
     )
     return [rb + sb for rb, sb in zip(R, S)]
+
+
+def sign_host(sks: list[bytes], msgs: list[bytes]) -> list[bytes]:
+    assert len(sks) == len(msgs)
+    a, prefixes = expand_secret_host(sks)
+    pks = public_keys_host(sks)
+    return sign_with_expanded_host(a, prefixes, pks, msgs)
 
 
 def verify_host(pks: list[bytes], msgs: list[bytes], sigs: list[bytes]) -> list[bool]:
