@@ -86,51 +86,31 @@ class _B:
         return len(self.hi)
 
 
-_F32_EXACT = 1 << 24  # integers below this are exactly representable in f32
-
-
 def _school(a: _B, b: _B) -> _B:
-    """Full product columns: c_k = sum_{i+j=k} a_i * b_j, via shifted MACs.
-
-    Limb products run in f32 (exact — bounds proven < 2^24 per product)
-    because the TPU VPU has no native int32 multiply; accumulation stays
-    int32 (column sums can exceed 2^24)."""
+    """Full product columns: c_k = sum_{i+j=k} a_i * b_j, via shifted MACs."""
     n, m = a.L, b.L
     L = n + m - 1
     batch = a.arr.shape[1:]
     acc = jnp.zeros((L,) + batch, dtype=jnp.int32)
     hi = [0] * L
-    use_f32 = max(a.hi) * max(b.hi) < _F32_EXACT
-    af = a.arr.astype(jnp.float32) if use_f32 else a.arr
-    bf = b.arr.astype(jnp.float32) if use_f32 else b.arr
     for i in range(n):
-        prod = af[i] * bf
-        acc = acc.at[i : i + m].add(
-            prod.astype(jnp.int32) if use_f32 else prod
-        )
+        acc = acc.at[i : i + m].add(a.arr[i] * b.arr)
         for j in range(m):
             hi[i + j] += a.hi[i] * b.hi[j]
     return _B(acc, hi, a.V * b.V)
 
 
 def _school_const(x: _B, fnp: np.ndarray, f_int: int) -> _B:
-    """Product of traced columns x with a constant limb vector (skips zeros).
-    f32 product path when bounds allow (see _school)."""
+    """Product of traced columns x with a constant limb vector (skips zeros)."""
     m = x.L
     nz = [j for j in range(fnp.shape[0]) if int(fnp[j, 0]) != 0]
     L = (max(nz) if nz else 0) + m
     batch = x.arr.shape[1:]
     acc = jnp.zeros((L,) + batch, dtype=jnp.int32)
     hi = [0] * L
-    fmax = max((int(fnp[j, 0]) for j in nz), default=0)
-    use_f32 = fmax * max(x.hi) < _F32_EXACT
-    xf = x.arr.astype(jnp.float32) if use_f32 else x.arr
     for j in nz:
         f = int(fnp[j, 0])
-        if use_f32:
-            acc = acc.at[j : j + m].add((np.float32(f) * xf).astype(jnp.int32))
-        else:
-            acc = acc.at[j : j + m].add(np.int32(f) * x.arr)
+        acc = acc.at[j : j + m].add(np.int32(f) * x.arr)
         for i in range(m):
             hi[j + i] += f * x.hi[i]
     return _B(acc, hi, x.V * f_int)
@@ -149,30 +129,27 @@ class Field:
         def _loose(bb):
             return (1 << bb) - 1 + 64
 
-        # Radix 2^11: the TPU VPU has no native 32-bit integer multiply
-        # (measured ~11 G int32-mul/s vs ~full-rate f32), so limb products
-        # are computed EXACTLY in f32 and cast back for int32 column
-        # accumulation. Exactness needs every pairwise product < 2^24:
-        # loose(11)^2 = 2111^2 = 4.46M < 16.7M. (See ROOFLINE.md.)
         if kind == "solinas":
-            b = 11
+            b = 13
             n = -(-self.bits // b)
             if b * n == self.bits:
                 n += 1
-            assert _loose(b) ** 2 < _F32_EXACT
+            # int32 column bound for the full schoolbook product of
+            # loose-limb inputs
+            if n * _loose(b) ** 2 + (1 << 20) >= _INT31:
+                b = 12
+                n = -(-self.bits // b)
+                if b * n == self.bits:
+                    n += 1
             assert n * _loose(b) ** 2 + (1 << 20) < _INT31
         elif kind == "mont":
-            b = 11
+            b = 12
             n = -(-self.bits // b)
-            # R = 2^(b*n) must exceed p with >= 4 bits of slack: when R is
-            # barely above p, F = R mod p is ~p and the fold in _normalize
-            # cannot shrink the value bound (observed for the 253-bit
-            # ed25519 scalar field at b=11: R = 2^253, F ~ 2^252)
-            while (1 << (b * n)) <= (p << 4):
+            # R = 2^(b*n) must exceed p
+            if (1 << (b * n)) <= p:
                 n += 1
             # column bound: loose school + n Montgomery partial products
             norm = (1 << b) - 1
-            assert _loose(b) ** 2 < _F32_EXACT
             assert (
                 n * _loose(b) ** 2 + n * norm * norm + (1 << 20) < _INT31
             )
@@ -455,14 +432,9 @@ class Field:
         return self.add(x, x)
 
     def mul_small(self, x, k: int):
-        """Multiply by a small non-negative public constant (f32 product
-        when exact — see _school)."""
+        """Multiply by a small non-negative public constant."""
         assert 0 <= k and k * self.loose < _INT31
-        if 0 < k * self.loose < _F32_EXACT:
-            prod = (np.float32(k) * x.astype(jnp.float32)).astype(jnp.int32)
-        else:
-            prod = np.int32(k) * x
-        c = _B(prod, [k * self.loose] * self.n, k * self.V_loose)
+        c = _B(np.int32(k) * x, [k * self.loose] * self.n, k * self.V_loose)
         return self._normalize(c)
 
     def mul(self, x, y):
@@ -495,15 +467,11 @@ class Field:
         bound = school_max + n * mask * int(self.p_np.max()) + (1 << (31 - b))
         assert bound < _INT31, f"mont bound overflow: {bound}"
         p_arr = jnp.asarray(self.p_np)
-        p_f32 = p_arr.astype(jnp.float32)
         n0 = np.int32(self.n0inv)
-        # f32 exactness for the m*p partial products (see _school)
-        assert mask * mask < _F32_EXACT
 
         def step(d, _):
             m = ((d[0] & mask) * n0) & mask
-            mp = (m.astype(jnp.float32) * p_f32).astype(jnp.int32)
-            d = d.at[0:n].add(mp)
+            d = d.at[0:n].add(m * p_arr)
             carry = d[0] >> b
             d = jnp.concatenate([d[1:], jnp.zeros((1,) + batch, jnp.int32)])
             d = d.at[0].add(carry)

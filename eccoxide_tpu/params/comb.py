@@ -132,10 +132,10 @@ class EdwardsComb:
             dig, tx, ty, tt = inp
             sel = (
                 jnp.arange(16, dtype=jnp.int32)[:, None] == dig[None, :]
-            ).astype(jnp.float32)  # (16, B); f32: no native int32 mul on VPU
-            qx = jnp.einsum("kb,kn->nb", sel, tx.astype(jnp.float32)).astype(jnp.int32)
-            qy = jnp.einsum("kb,kn->nb", sel, ty.astype(jnp.float32)).astype(jnp.int32)
-            qt = jnp.einsum("kb,kn->nb", sel, tt.astype(jnp.float32)).astype(jnp.int32)
+            ).astype(jnp.int32)  # (16, B)
+            qx = jnp.einsum("kb,kn->nb", sel, tx)
+            qy = jnp.einsum("kb,kn->nb", sel, ty)
+            qt = jnp.einsum("kb,kn->nb", sel, tt)
             acc = spec.add_mixed(acc, qx, qy, qt)
             return acc, None
 
@@ -196,9 +196,9 @@ class WeierstrassComb:
             dig, tx, ty = inp
             sel = (
                 jnp.arange(16, dtype=jnp.int32)[:, None] == dig[None, :]
-            ).astype(jnp.float32)
-            qx = jnp.einsum("kb,kn->nb", sel, tx.astype(jnp.float32)).astype(jnp.int32)
-            qy = jnp.einsum("kb,kn->nb", sel, ty.astype(jnp.float32)).astype(jnp.int32)
+            ).astype(jnp.int32)
+            qx = jnp.einsum("kb,kn->nb", sel, tx)
+            qy = jnp.einsum("kb,kn->nb", sel, ty)
             qz = f.select(dig != 0, one, zero)
             acc = spec.add(acc, ProjPoint(qx, qy, qz))
             return acc, None

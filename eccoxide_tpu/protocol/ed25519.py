@@ -167,11 +167,11 @@ def double_scalar_mul_base(s_bytes, Q, k_bytes, w0=None):
         for i in range(4):
             acc = ED.double(acc, need_t=(i == 3))
         sel = (jnp.arange(16, dtype=jnp.int32)[:, None] == ds[None, :]).astype(
-            jnp.float32
+            jnp.int32
         )
-        bx = jnp.einsum("kb,kn->nb", sel, tx.astype(jnp.float32)).astype(jnp.int32)
-        by = jnp.einsum("kb,kn->nb", sel, ty.astype(jnp.float32)).astype(jnp.int32)
-        bt = jnp.einsum("kb,kn->nb", sel, tt.astype(jnp.float32)).astype(jnp.int32)
+        bx = jnp.einsum("kb,kn->nb", sel, tx)
+        by = jnp.einsum("kb,kn->nb", sel, ty)
+        bt = jnp.einsum("kb,kn->nb", sel, tt)
         acc = ED.add_mixed(acc, bx, by, bt)
         q = ED._ct_lookup(tableQ, dq, 4)
         acc = ED.add(acc, q)
