@@ -6,6 +6,14 @@ addition (curve25519.rs:645-660) and extended-coordinate doubling
 (curve25519.rs:626-642), with constant-time windowed scalar multiplication
 replacing the reference's bit-by-bit CT double-and-add
 (curve25519.rs:676-687). All selects are batch-wide masked arithmetic.
+
+The group-law formulas run in the field engine's list-of-limbs ``_B``
+representation end-to-end (field.py "b-land" API): adds/subs are pure SSA
+limb arithmetic with trace-time bound tracking, carries happen only when a
+product needs them, and coordinates are restacked to ``(n, B)`` arrays only
+at scan-carry boundaries. On TPU this halves the HBM materialization
+boundaries per point operation versus calling stacked field ops
+(ROOFLINE.md).
 """
 
 from __future__ import annotations
@@ -16,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..field import Field
+from ..field import Field, _B
 
 
 class ExtPoint(NamedTuple):
@@ -26,6 +34,15 @@ class ExtPoint(NamedTuple):
     y: jax.Array
     z: jax.Array
     t: jax.Array
+
+
+class ExtPointB(NamedTuple):
+    """b-land twin of ExtPoint (coords are field._B values)."""
+
+    x: _B
+    y: _B
+    z: _B
+    t: _B
 
 
 @dataclass(frozen=True, eq=False)
@@ -52,79 +69,124 @@ class EdwardsCurveSpec:
         return ExtPoint(gx, gy, f.one(batch), f.mul(gx, gy))
 
     # ------------------------------------------------------------------
+    # b-land core formulas
+    # ------------------------------------------------------------------
 
-    def double(self, p: ExtPoint, need_t: bool = True) -> ExtPoint:
+    def _unstack(self, p: ExtPoint) -> ExtPointB:
+        f = self.field
+        return ExtPointB(*(f.b_loose(c) for c in p))
+
+    def _stack(self, p: ExtPointB) -> ExtPoint:
+        f = self.field
+        return ExtPoint(*(f.b_stack(c) for c in p))
+
+    def double_b(self, p: ExtPointB, need_t: bool = True) -> ExtPointB:
         """dbl-2008-hwcd; complete, any a (reference curve25519.rs:626-642).
 
         ``need_t=False`` skips the E*H product: only additions consume the
         extended T coordinate, so the first w-1 doubles of a window chain
-        can run 7M instead of 8M (t is set to 0 — callers must not add
-        from such a point without re-doubling)."""
+        can run 7M instead of 8M. The resulting T is a placeholder zero —
+        adding from such a point without an intervening need_t double is a
+        bug; the only callers are the window loops below, which always
+        finish a window with need_t=True."""
         f = self.field
-        A = f.square(p.x)
-        B = f.square(p.y)
-        C = f.double(f.square(p.z))
+        A = f.b_sq(p.x)
+        B = f.b_sq(p.y)
+        C = f.b_dbl(f.b_sq(p.z))
         if self.a == -1:
-            D = f.neg(A)
+            D = f.b_neg(A)
         else:
-            D = f.mul(f.bcast(f.const(self.a), A.shape[1:]), A)
-        E = f.sub(f.sub(f.square(f.add(p.x, p.y)), A), B)
-        G = f.add(D, B)
-        Fv = f.sub(G, C)
-        H = f.sub(D, B)
-        t = f.mul(E, H) if need_t else E * 0
-        return ExtPoint(f.mul(E, Fv), f.mul(G, H), f.mul(Fv, G), t)
+            batch = p.x.vals[0].shape
+            D = f.b_mul(f.b_const(self.a % f.p, batch), A)
+        E = f.b_sub(f.b_sub(f.b_sq(f.b_add(p.x, p.y)), A), B)
+        G = f.b_add(D, B)
+        Fv = f.b_sub(G, C)
+        H = f.b_sub(D, B)
+        if need_t:
+            t = f.b_mul(E, H)
+        else:
+            zero = jnp.zeros_like(p.x.vals[0])
+            t = _B([zero] * f.n, [0] * f.n, 0)
+        return ExtPointB(f.b_mul(E, Fv), f.b_mul(G, H), f.b_mul(Fv, G), t)
+
+    def add_b(self, p: ExtPointB, q: ExtPointB,
+              need_t: bool = True) -> ExtPointB:
+        """Complete addition. a=-1: add-2008-hwcd-3 (reference
+        curve25519.rs:645-660); otherwise add-2008-hwcd.
+
+        ``need_t=False`` skips the E*H product (T := 0 placeholder) — only
+        valid when the result's T is never consumed (it feeds a double or
+        an equality check, both T-free)."""
+        f = self.field
+        batch = p.x.vals[0].shape
+        if self.a == -1:
+            A = f.b_mul(f.b_sub(p.y, p.x), f.b_sub(q.y, q.x))
+            B = f.b_mul(f.b_add(p.y, p.x), f.b_add(q.y, q.x))
+            C = f.b_mul(f.b_mul(p.t, q.t),
+                        f.b_const((2 * self.d) % f.p, batch))
+            D = f.b_dbl(f.b_mul(p.z, q.z))
+            E = f.b_sub(B, A)
+            Fv = f.b_sub(D, C)
+            G = f.b_add(D, C)
+            H = f.b_add(B, A)
+        else:
+            A = f.b_mul(p.x, q.x)
+            B = f.b_mul(p.y, q.y)
+            C = f.b_mul(f.b_const(self.d % f.p, batch), f.b_mul(p.t, q.t))
+            D = f.b_mul(p.z, q.z)
+            E = f.b_sub(
+                f.b_sub(f.b_mul(f.b_add(p.x, p.y), f.b_add(q.x, q.y)), A), B
+            )
+            Fv = f.b_sub(D, C)
+            G = f.b_add(D, C)
+            aA = f.b_mul(f.b_const(self.a % f.p, batch), A)
+            H = f.b_sub(B, aA)
+        if need_t:
+            t = f.b_mul(E, H)
+        else:
+            zero = jnp.zeros_like(p.x.vals[0])
+            t = _B([zero] * f.n, [0] * f.n, 0)
+        return ExtPointB(f.b_mul(E, Fv), f.b_mul(G, H), f.b_mul(Fv, G), t)
+
+    def add_mixed_b(self, p: ExtPointB, qx: _B, qy: _B, qt: _B) -> ExtPointB:
+        """Complete addition with an affine second operand (Z2 = 1,
+        T2 = qx*qy): saves the Z1*Z2 multiply (reference
+        projective.rs:898-911 uses the same trick)."""
+        f = self.field
+        batch = p.x.vals[0].shape
+        if self.a == -1:
+            A = f.b_mul(f.b_sub(p.y, p.x), f.b_sub(qy, qx))
+            B = f.b_mul(f.b_add(p.y, p.x), f.b_add(qy, qx))
+            C = f.b_mul(f.b_mul(p.t, qt),
+                        f.b_const((2 * self.d) % f.p, batch))
+            D = f.b_dbl(p.z)
+            E = f.b_sub(B, A)
+            Fv = f.b_sub(D, C)
+            G = f.b_add(D, C)
+            H = f.b_add(B, A)
+            return ExtPointB(
+                f.b_mul(E, Fv), f.b_mul(G, H), f.b_mul(Fv, G), f.b_mul(E, H)
+            )
+        one = f.b_const(1, batch)
+        return self.add_b(p, ExtPointB(qx, qy, one, qt))
+
+    # ------------------------------------------------------------------
+    # stacked-API wrappers
+    # ------------------------------------------------------------------
+
+    def double(self, p: ExtPoint, need_t: bool = True) -> ExtPoint:
+        return self._stack(self.double_b(self._unstack(p), need_t))
 
     def add(self, p: ExtPoint, q: ExtPoint) -> ExtPoint:
-        """Complete addition. a=-1: add-2008-hwcd-3 (reference
-        curve25519.rs:645-660); otherwise add-2008-hwcd."""
-        f = self.field
-        if self.a == -1:
-            A = f.mul(f.sub(p.y, p.x), f.sub(q.y, q.x))
-            B = f.mul(f.add(p.y, p.x), f.add(q.y, q.x))
-            d2 = f.const((2 * self.d) % f.p)
-            C = f.mul(f.mul(p.t, q.t), f.bcast(d2, p.t.shape[1:]))
-            D = f.double(f.mul(p.z, q.z))
-            E = f.sub(B, A)
-            Fv = f.sub(D, C)
-            G = f.add(D, C)
-            H = f.add(B, A)
-        else:
-            A = f.mul(p.x, q.x)
-            B = f.mul(p.y, q.y)
-            dC = f.bcast(f.const(self.d % f.p), p.t.shape[1:])
-            C = f.mul(dC, f.mul(p.t, q.t))
-            D = f.mul(p.z, q.z)
-            E = f.sub(
-                f.sub(f.mul(f.add(p.x, p.y), f.add(q.x, q.y)), A), B
-            )
-            Fv = f.sub(D, C)
-            G = f.add(D, C)
-            aA = f.mul(f.bcast(f.const(self.a % f.p), A.shape[1:]), A)
-            H = f.sub(B, aA)
-        return ExtPoint(f.mul(E, Fv), f.mul(G, H), f.mul(Fv, G), f.mul(E, H))
+        return self._stack(self.add_b(self._unstack(p), self._unstack(q)))
 
     def add_mixed(self, p: ExtPoint, qx, qy, qt) -> ExtPoint:
-        """Complete addition with an affine second operand (Z2 = 1,
-        T2 = qx*qy): saves the Z1*Z2 multiply. Used by the comb fixed-base
-        path (reference projective.rs:898-911 uses the same trick with
-        affine table entries)."""
         f = self.field
-        if self.a == -1:
-            A = f.mul(f.sub(p.y, p.x), f.sub(qy, qx))
-            B = f.mul(f.add(p.y, p.x), f.add(qy, qx))
-            d2 = f.const((2 * self.d) % f.p)
-            C = f.mul(f.mul(p.t, qt), f.bcast(d2, p.t.shape[1:]))
-            D = f.double(p.z)
-            E = f.sub(B, A)
-            Fv = f.sub(D, C)
-            G = f.add(D, C)
-            H = f.add(B, A)
-            return ExtPoint(
-                f.mul(E, Fv), f.mul(G, H), f.mul(Fv, G), f.mul(E, H)
+        return self._stack(
+            self.add_mixed_b(
+                self._unstack(p), f.b_loose(qx), f.b_loose(qy), f.b_loose(qt)
             )
-        q = ExtPoint(qx, qy, f.one(qx.shape[1:]), qt)
-        return self.add(p, q)
+        )
 
     def neg(self, p: ExtPoint) -> ExtPoint:
         f = self.field
@@ -189,26 +251,32 @@ class EdwardsCurveSpec:
         p0 = ExtPoint(p.x + ref, p.y + ref, p.z + ref, p.t + ref)
         _, ys = jax.lax.scan(step, p0, None, length=2**w - 1)
         ident = self.identity(p.x.shape[1:])
+        # stored int16: loose limbs are < 2^13+64, and halving the table
+        # bytes halves the full-scan lookup's HBM traffic (the lookup is
+        # bandwidth-bound — 13% of verify at int32, ROOFLINE.md)
         return ExtPoint(
-            jnp.concatenate([ident.x[None], ys.x], axis=0),
-            jnp.concatenate([ident.y[None], ys.y], axis=0),
-            jnp.concatenate([ident.z[None], ys.z], axis=0),
-            jnp.concatenate([ident.t[None], ys.t], axis=0),
+            jnp.concatenate([ident.x[None], ys.x], axis=0).astype(jnp.int16),
+            jnp.concatenate([ident.y[None], ys.y], axis=0).astype(jnp.int16),
+            jnp.concatenate([ident.z[None], ys.z], axis=0).astype(jnp.int16),
+            jnp.concatenate([ident.t[None], ys.t], axis=0).astype(jnp.int16),
         )
 
     def _ct_lookup(self, table: ExtPoint, idx, w: int = 4):
         """Constant-time table scan: masked sum over all 2^w entries
         (the analogue of the reference's full-scan select_from_table,
-        curve25519.rs:794-804)."""
+        curve25519.rs:794-804). Table coords are int16 (see
+        _window_table); the selected point is returned as int32."""
         size = table.x.shape[0]
         sel = (
             jnp.arange(size, dtype=jnp.int32)[:, None] == idx[None, :]
         )  # (2^w, B)
 
-        def pick(coord):  # coord: (2^w, n, B)
-            return jnp.sum(
-                jnp.where(sel[:, None, :], coord, 0), axis=0, dtype=jnp.int32
+        def pick(coord):  # coord: (2^w, n, B) int16
+            one_hot = jnp.sum(
+                jnp.where(sel[:, None, :], coord, jnp.int16(0)),
+                axis=0, dtype=jnp.int16,
             )
+            return one_hot.astype(jnp.int32)
 
         return ExtPoint(pick(table.x), pick(table.y), pick(table.z), pick(table.t))
 
@@ -217,15 +285,18 @@ class EdwardsCurveSpec:
         (n_windows, B) int32 array of w-bit digits, most significant first.
         Replaces the reference's 256-step CT double-and-add scale_bytes
         (curve25519.rs:676-687) with a windowed variant: 4x fewer complete
-        additions."""
+        additions. The whole window body (w doubles + lookup + add) runs
+        in b-land; the scan carry is restacked once per window."""
         f = self.field
         table = self._window_table(p, w)
 
         def body(acc, dig):
+            accb = self._unstack(acc)
             for i in range(w):
-                acc = self.double(acc, need_t=(i == w - 1))
+                accb = self.double_b(accb, need_t=(i == w - 1))
             q = self._ct_lookup(table, dig, w)
-            return self.add(acc, q), None
+            accb = self.add_b(accb, self._unstack(q))
+            return self._stack(accb), None
 
         ident = self.identity(p.x.shape[1:])
         acc = ExtPoint(*(c + p.x * 0 for c in ident))

@@ -45,7 +45,6 @@ def ladder(spec: MontgomeryCurveSpec, u, k_bits):
     batch = u.shape[1:]
     one = f.one(batch)
     zero = f.zero(batch)
-    a24 = f.bcast(f.const(spec.a24), batch)
 
     # (x1) = u; (x2, z2) = (1, 0); (x3, z3) = (u, 1)
     def body(i, st):
@@ -58,23 +57,28 @@ def ladder(spec: MontgomeryCurveSpec, u, k_bits):
         z2, z3 = f.select(m, z3, z2), f.select(m, z2, z3)
         swap = kt
 
-        a = f.add(x2, z2)
-        aa = f.square(a)
-        b_ = f.sub(x2, z2)
-        bb = f.square(b_)
-        e = f.sub(aa, bb)
-        c = f.add(x3, z3)
-        d = f.sub(x3, z3)
-        da = f.mul(d, a)
-        cb = f.mul(c, b_)
-        t0 = f.add(da, cb)
-        x3 = f.square(t0)
-        t1 = f.sub(da, cb)
-        z3 = f.mul(u, f.square(t1))
-        x2 = f.mul(aa, bb)
-        # a24 = (A+2)/4 convention: z2 = E * (BB + a24*E)
-        z2 = f.mul(e, f.add(bb, f.mul(a24, e)))
-        return (x2, z2, x3, z3, swap)
+        # differential add-and-double in b-land (field.py): pure SSA limb
+        # arithmetic, one restack per state variable per iteration
+        x2b, z2b = f.b_loose(x2), f.b_loose(z2)
+        x3b, z3b = f.b_loose(x3), f.b_loose(z3)
+        ub = f.b_loose(u)
+        a = f.b_add(x2b, z2b)
+        aa = f.b_sq(a)
+        bq = f.b_sub(x2b, z2b)
+        bb = f.b_sq(bq)
+        e = f.b_carry(f.b_sub(aa, bb))
+        c = f.b_add(x3b, z3b)
+        d = f.b_sub(x3b, z3b)
+        da = f.b_mul(d, a)
+        cb = f.b_mul(c, bq)
+        x3b = f.b_sq(f.b_add(da, cb))
+        z3b = f.b_mul(ub, f.b_sq(f.b_sub(da, cb)))
+        x2b = f.b_mul(aa, bb)
+        # a24 = (A+2)/4 convention: z2 = E * (BB + a24*E); a24 is small, so
+        # the a24*E product is a constant scaling, not a full field mul
+        z2b = f.b_mul(e, f.b_add(bb, f.b_mul_small(e, spec.a24)))
+        st = tuple(jnp.stack(v.vals) for v in (x2b, z2b, x3b, z3b))
+        return st + (swap,)
 
     # constant-valued carries are tied to the varying inputs (`+ u*0`)
     # so the loop is well-typed under shard_map

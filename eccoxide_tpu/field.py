@@ -24,6 +24,18 @@ to the traced arrays and asserts ``bound < 2^31`` at trace time (class
 ``_B`` below). If a bound would overflow, field construction/tracing fails —
 there is no runtime wraparound path.
 
+Internal compute form — list-of-limbs SSA: inside an operation, a value is a
+Python list of per-limb batch-shaped arrays, and every schoolbook MAC /
+carry / fold is a pure add on those SSA values. The previous form (a stacked
+``(L, B)`` array updated with ``arr.at[i:i+m].add(...)``) lowered each
+column update to a dynamic-update-slice on the tiled sublane axis, which
+blocked XLA fusion and made the whole engine HBM-bound: measured on a real
+v5e chip, a dependent chain of field muls cost 24.8 ns/element against a
+~0.5 ns ALU roofline, and the identical schoolbook written as per-limb SSA
+adds costs 2.4-3.5 ns/element (tools/tpu_opbench.py + ROOFLINE.md). Values
+are restacked to ``(n, B)`` only at op boundaries, so the public API and
+all curve/protocol layers are unchanged.
+
 Constant-time discipline (the analogue of the reference's src/mp/ct.rs):
 every operation is straight-line masked arithmetic over the whole batch —
 ``jnp.where`` selects, full-table masked scans, no data-dependent branching
@@ -61,23 +73,24 @@ def _value_bound(hi_list, b: int) -> int:
 
 
 class _B:
-    """Trace-time bound tracker: a limb-column array + per-column upper
+    """Trace-time bound tracker: per-limb SSA arrays + per-limb upper
     bounds + an inclusive total-value bound.
 
-    ``arr`` is a traced (L, B) int32 array; ``hi`` is a list of L Python ints
-    with hi[i] >= max possible value of arr[i] (all values are provably
-    non-negative); ``V`` is an inclusive upper bound on the represented
-    integer value sum(arr[i] * 2^(b*i)). Every arithmetic helper updates all
-    three and asserts that no int32 overflow is possible.
+    ``vals`` is a list of L traced batch-shaped arrays (one per limb
+    column); ``hi`` is a list of L Python ints with hi[i] >= max possible
+    value of vals[i] (all values are provably non-negative); ``V`` is an
+    inclusive upper bound on the represented integer value
+    sum(vals[i] * 2^(b*i)). Every arithmetic helper updates all three and
+    asserts that no int32 overflow is possible.
     """
 
-    __slots__ = ("arr", "hi", "V")
+    __slots__ = ("vals", "hi", "V")
 
-    def __init__(self, arr, hi: Sequence[int], V: int):
-        assert arr.shape[0] == len(hi)
+    def __init__(self, vals, hi: Sequence[int], V: int):
+        assert len(vals) == len(hi)
         for h in hi:
             assert 0 <= h < _INT31, f"int32 overflow possible: bound {h}"
-        self.arr = arr
+        self.vals = list(vals)
         self.hi = list(hi)
         self.V = V
 
@@ -86,34 +99,45 @@ class _B:
         return len(self.hi)
 
 
+def _unstack(x, n: int):
+    """(n, B) stacked limbs -> list of n batch-shaped arrays."""
+    return [x[i] for i in range(n)]
+
+
 def _school(a: _B, b: _B) -> _B:
-    """Full product columns: c_k = sum_{i+j=k} a_i * b_j, via shifted MACs."""
+    """Full product columns c_k = sum_{i+j=k} a_i * b_j as pure SSA MACs
+    (no scatter/update-slice: every MAC is an independent multiply feeding
+    a plain add tree, which XLA fuses into one VPU loop)."""
     n, m = a.L, b.L
     L = n + m - 1
-    batch = a.arr.shape[1:]
-    acc = jnp.zeros((L,) + batch, dtype=jnp.int32)
+    c = [None] * L
     hi = [0] * L
     for i in range(n):
-        acc = acc.at[i : i + m].add(a.arr[i] * b.arr)
+        ai = a.vals[i]
         for j in range(m):
+            p = ai * b.vals[j]
+            c[i + j] = p if c[i + j] is None else c[i + j] + p
             hi[i + j] += a.hi[i] * b.hi[j]
-    return _B(acc, hi, a.V * b.V)
+    return _B(c, hi, a.V * b.V)
 
 
 def _school_const(x: _B, fnp: np.ndarray, f_int: int) -> _B:
-    """Product of traced columns x with a constant limb vector (skips zeros)."""
+    """Product of traced columns x with a constant limb vector (skips
+    zeros); SSA form like _school."""
     m = x.L
     nz = [j for j in range(fnp.shape[0]) if int(fnp[j, 0]) != 0]
     L = (max(nz) if nz else 0) + m
-    batch = x.arr.shape[1:]
-    acc = jnp.zeros((L,) + batch, dtype=jnp.int32)
+    c = [None] * L
     hi = [0] * L
     for j in nz:
         f = int(fnp[j, 0])
-        acc = acc.at[j : j + m].add(np.int32(f) * x.arr)
         for i in range(m):
+            p = np.int32(f) * x.vals[i]
+            c[j + i] = p if c[j + i] is None else c[j + i] + p
             hi[j + i] += f * x.hi[i]
-    return _B(acc, hi, x.V * f_int)
+    zero = jnp.zeros_like(x.vals[0])
+    c = [zero if v is None else v for v in c]
+    return _B(c, hi, x.V * f_int)
 
 
 class Field:
@@ -179,6 +203,8 @@ class Field:
         base_pad = (
             np.full((n, 1), self.norm, dtype=np.int64) + int_to_limbs(d, n, b)
         )
+        self.base_pad = [int(base_pad[i, 0]) for i in range(n)]
+        self.base_pad_val = m_ * p
         self.subpad_np = (2 * base_pad).astype(np.int32)
         self.subpad_hi = int(self.subpad_np.max())
         self.subpad_val = 2 * m_ * p
@@ -250,11 +276,12 @@ class Field:
         return jnp.zeros((self.n,) + tuple(batch), dtype=jnp.int32)
 
     def one(self, batch=(1,)):
-        return jnp.broadcast_to(
-            self.const(1), (self.n,) + tuple(batch)
-        ).astype(jnp.int32)
+        return self.bcast(self.const(1), batch)
 
     def bcast(self, x, batch):
+        """Broadcast an (n, 1)-column constant to (n,) + batch."""
+        x = jnp.asarray(x)
+        x = x.reshape((self.n,) + (1,) * len(tuple(batch)))
         return jnp.broadcast_to(x, (self.n,) + tuple(batch)).astype(jnp.int32)
 
     # ------------------------------------------------------------------
@@ -264,64 +291,57 @@ class Field:
     def _carry(self, c: _B) -> _B:
         """Loose carry relaxation (value-preserving): parallel passes
         ``r = x & mask; cr = x >> b; x' = r + (cr shifted up one limb)``
-        until every limb bound is <= loose (= 2^b - 1 + 64). Each pass is a
-        handful of full-width vector ops with NO cross-limb sequential
-        chain — the limb axis stays parallel on the VPU. The invariant for
-        all non-serde values is loose limbs, not strict [0, 2^b); bounds are
-        tracked exactly so int32 safety is still proven. Strict limbs are
-        re-established only at serde/canonical boundaries
-        (_strict_carry)."""
-        arr, hi, V = c.arr, c.hi, c.V
-        batch = arr.shape[1:]
+        until every limb bound is <= loose (= 2^b - 1 + 64). Each pass is
+        per-limb SSA (a shift, a mask and an add per limb, no cross-limb
+        sequential chain). The invariant for all non-serde values is loose
+        limbs, not strict [0, 2^b); bounds are tracked exactly so int32
+        safety is still proven. Strict limbs are re-established only at
+        serde/canonical boundaries (_strict_carry)."""
+        vals, hi, V = list(c.vals), list(c.hi), c.V
         passes = 0
         while any(h > self.loose for h in hi):
             passes += 1
             assert passes <= 8, "carry relaxation did not converge"
             if hi[-1] > self.loose:
                 # top limb cannot absorb its excess: give it headroom
-                arr = jnp.concatenate(
-                    [arr, jnp.zeros((1,) + batch, jnp.int32)], axis=0
-                )
+                vals = vals + [jnp.zeros_like(vals[0])]
                 hi = hi + [0]
             L = len(hi)
             # mask all limbs except the top; the top absorbs carries
             # (keeping the limb count stable so bounds can converge)
-            cr = arr[: L - 1] >> self.b
-            arr = jnp.concatenate(
-                [arr[: L - 1] & self.mask, arr[L - 1 :]], axis=0
-            )
-            arr = arr.at[1:].add(cr)
+            new_vals = [vals[i] & self.mask for i in range(L - 1)] + [vals[-1]]
+            for i in range(L - 1):
+                new_vals[i + 1] = new_vals[i + 1] + (vals[i] >> self.b)
             new_hi = [min(hi[i], self.mask) for i in range(L - 1)] + [hi[-1]]
             for i in range(L - 1):
                 new_hi[i + 1] += hi[i] >> self.b
-            hi = new_hi
+            vals, hi = new_vals, new_hi
             for h in hi:
                 assert h < _INT31
-        return _B(arr, hi, V)
+        return _B(vals, hi, V)
 
-    def _strict_carry(self, c: _B):
+    def _strict_carry_list(self, c: _B) -> list:
         """Sequential ripple producing n strictly-normalized limbs in
-        [0, 2^b) with value < 2^bn. Accepts the loose invariant (value can
-        slightly exceed 2^bn); any ripple carry-out is folded with F and
-        rippled once more. Used only at canonicalization/serde
-        boundaries."""
+        [0, 2^b) with value < 2^bn, as a per-limb list. Accepts the loose
+        invariant (value can slightly exceed 2^bn); any ripple carry-out is
+        folded with F and rippled once more. Used only at
+        canonicalization/serde boundaries."""
         c = self._carry(c)
-        arr = c.arr
-        batch = arr.shape[1:]
+        vals = list(c.vals)
         if c.L < self.n:
-            arr = jnp.concatenate(
-                [arr, jnp.zeros((self.n - c.L,) + batch, jnp.int32)], axis=0
-            )
+            vals = vals + [jnp.zeros_like(vals[0])] * (self.n - c.L)
         assert c.L <= self.n, "strict carry on over-long columns"
         v_bound = c.V
         for _ in range(3):
             cr = None
+            out = []
             for i in range(self.n):
-                t = arr[i] if cr is None else arr[i] + cr
+                t = vals[i] if cr is None else vals[i] + cr
                 cr = t >> self.b
-                arr = arr.at[i].set(t & self.mask)
+                out.append(t & self.mask)
+            vals = out
             if v_bound < self.R:
-                return arr
+                return vals
             # fold carry-out (value-bound-driven; tiny) and ripple again
             cmax = v_bound >> self.bn
             contrib_hi = cmax * int(self.F_np.max())
@@ -330,9 +350,12 @@ class Field:
                 j for j in range(self.n) if int(self.F_np[j, 0]) != 0
             ]
             for j in nz:
-                arr = arr.at[j].add(cr * np.int32(int(self.F_np[j, 0])))
+                vals[j] = vals[j] + cr * np.int32(int(self.F_np[j, 0]))
             v_bound = self._fold_value_bound(v_bound)
         raise AssertionError("strict carry did not converge")
+
+    def _strict_carry(self, c: _B):
+        return jnp.stack(self._strict_carry_list(c))
 
     def _fold_value_bound(self, V: int) -> int:
         """Inclusive value bound after replacing hi*2^bn with hi*F."""
@@ -345,13 +368,13 @@ class Field:
             return best
         return (R - 1) + cmax * F
 
-    def _normalize(self, c: _B) -> "jax.Array":
+    def _normalize_b(self, c: _B) -> _B:
         """Reduce arbitrary non-negative columns to n loose limbs
         (value < 2^bn), preserving the value mod p. Folds the part above
         2^bn down with F until the value bound proves it vanished; trip
-        counts are static (bound-driven), so the traced graph is fixed."""
+        counts are static (bound-driven), so the traced graph is fixed.
+        Returns the loose-limb _B (n limbs)."""
         n = self.n
-        batch = c.arr.shape[1:]
         rounds = 0
         while True:
             rounds += 1
@@ -361,59 +384,74 @@ class Field:
                 # the loose invariant holds: n limbs <= loose, value bound
                 # <= V_loose (serde boundaries re-strictify)
                 if c.L < n:
-                    pad = jnp.zeros((n - c.L,) + batch, jnp.int32)
-                    return jnp.concatenate([c.arr, pad], axis=0)
-                return c.arr
+                    pad = [jnp.zeros_like(c.vals[0])] * (n - c.L)
+                    return _B(c.vals + pad, c.hi + [0] * (n - c.L), c.V)
+                return c
             if c.L <= n:
                 # limb-wise loose but value bound still above the
                 # invariant: extract the top limb's excess above 2^b and
                 # fold it (the only place value > V_loose mass can sit
                 # after a carry pass is the carry chain already consumed;
                 # shrink V via one F-fold of the top excess)
-                hi_arr = (c.arr[n - 1] >> self.b)[None]
-                lo_arr = c.arr.at[n - 1].set(c.arr[n - 1] & self.mask)
+                hi_vals = [c.vals[n - 1] >> self.b]
+                lo_vals = c.vals[: n - 1] + [c.vals[n - 1] & self.mask]
                 lo_hi = list(c.hi)
                 lo_hi[n - 1] = min(lo_hi[n - 1], self.mask)
                 hi_V = min(c.hi[n - 1] >> self.b, max(1, c.V >> self.bn))
                 contrib = _school_const(
-                    _B(hi_arr, [c.hi[n - 1] >> self.b], hi_V),
+                    _B(hi_vals, [c.hi[n - 1] >> self.b], hi_V),
                     self.F_np,
                     self.F,
                 )
-                lo = _B(lo_arr, lo_hi,
+                lo = _B(lo_vals, lo_hi,
                         min(c.V, _value_bound(lo_hi, self.b)))
             else:
                 hi_V = min(
                     _value_bound(c.hi[n:], self.b), max(0, c.V >> self.bn)
                 )
                 contrib = _school_const(
-                    _B(c.arr[n:], c.hi[n:], hi_V), self.F_np, self.F
+                    _B(c.vals[n:], c.hi[n:], hi_V), self.F_np, self.F
                 )
-                lo = _B(c.arr[:n], c.hi[:n],
+                lo = _B(c.vals[:n], c.hi[:n],
                         min(c.V, _value_bound(c.hi[:n], self.b)))
             L = max(n, contrib.L)
-            acc = jnp.zeros((L,) + batch, dtype=jnp.int32)
-            acc = acc.at[:n].add(lo.arr)
-            acc = acc.at[: contrib.L].add(contrib.arr)
+            acc = [None] * L
             hb = [0] * L
             for i in range(n):
+                acc[i] = lo.vals[i]
                 hb[i] += lo.hi[i]
             for i in range(contrib.L):
+                acc[i] = (
+                    contrib.vals[i] if acc[i] is None
+                    else acc[i] + contrib.vals[i]
+                )
                 hb[i] += contrib.hi[i]
+            zero = jnp.zeros_like(lo.vals[0])
+            acc = [zero if v is None else v for v in acc]
             c = _B(acc, hb, lo.V + contrib.V)
+
+    def _normalize(self, c: _B) -> "jax.Array":
+        return jnp.stack(self._normalize_b(c).vals)
+
+    def _loose_b(self, x) -> _B:
+        """Stacked (n, B) loose-invariant value -> _B list form."""
+        return _B(_unstack(x, self.n), [self.loose] * self.n, self.V_loose)
 
     # ------------------------------------------------------------------
     # ring ops
     # ------------------------------------------------------------------
 
     def add(self, x, y):
-        c = _B(x + y, [2 * self.loose] * self.n, 2 * self.V_loose)
+        s = x + y
+        c = _B(_unstack(s, self.n), [2 * self.loose] * self.n,
+               2 * self.V_loose)
         return self._normalize(c)
 
     def sub(self, x, y):
         pad = jnp.asarray(self.subpad_np)
+        d = x + (pad - y)
         c = _B(
-            x + (pad - y),
+            _unstack(d, self.n),
             [self.loose + self.subpad_hi] * self.n,
             self.V_loose + self.subpad_val,
         )
@@ -421,8 +459,9 @@ class Field:
 
     def neg(self, y):
         pad = jnp.asarray(self.subpad_np)
+        d = jnp.broadcast_to(pad - y, y.shape)
         c = _B(
-            jnp.broadcast_to(pad - y, y.shape),
+            _unstack(d, self.n),
             [self.subpad_hi] * self.n,
             self.subpad_val,
         )
@@ -434,19 +473,149 @@ class Field:
     def mul_small(self, x, k: int):
         """Multiply by a small non-negative public constant."""
         assert 0 <= k and k * self.loose < _INT31
-        c = _B(np.int32(k) * x, [k * self.loose] * self.n, k * self.V_loose)
+        d = np.int32(k) * x
+        c = _B(_unstack(d, self.n), [k * self.loose] * self.n,
+               k * self.V_loose)
         return self._normalize(c)
 
     def mul(self, x, y):
-        xb = _B(x, [self.loose] * self.n, self.V_loose)
-        yb = _B(y, [self.loose] * self.n, self.V_loose)
-        prod = _school(xb, yb)
-        if self.kind == "mont":
-            return self._mont_reduce(prod)
-        return self._normalize(prod)
+        return jnp.stack(
+            self.b_mul(self._loose_b(x), self._loose_b(y)).vals
+        )
 
     def square(self, x):
         return self.mul(x, x)
+
+    # ------------------------------------------------------------------
+    # _B-level (list-of-limbs) API — formula fusion.
+    #
+    # Composite group-law formulas (Edwards/Weierstrass add/double) run
+    # entirely in this representation: additions and subtractions are pure
+    # SSA limb adds with exact bound tracking, and values are only carried
+    # when a downstream schoolbook product would otherwise overflow int32
+    # (decided at trace time from the tracked bounds). This removes the
+    # jnp.stack/slice materialization boundary around every field op — the
+    # main non-ALU cost on TPU once the engine itself is SSA (ROOFLINE.md).
+    # ------------------------------------------------------------------
+
+    def b_loose(self, x) -> _B:
+        """Stacked (n, B) loose-invariant value -> _B."""
+        return self._loose_b(x)
+
+    def b_stack(self, c: _B):
+        """_B (any bounds) -> normalized stacked (n, B) loose value."""
+        return jnp.stack(self._normalize_b(c).vals)
+
+    def b_carry(self, c: _B) -> _B:
+        return self._carry(c)
+
+    def b_add(self, x: _B, y: _B) -> _B:
+        L = max(x.L, y.L)
+        vals, hi = [], []
+        for i in range(L):
+            if i < x.L and i < y.L:
+                vals.append(x.vals[i] + y.vals[i])
+                hi.append(x.hi[i] + y.hi[i])
+            elif i < x.L:
+                vals.append(x.vals[i])
+                hi.append(x.hi[i])
+            else:
+                vals.append(y.vals[i])
+                hi.append(y.hi[i])
+        return _B(vals, hi, x.V + y.V)
+
+    def b_dbl(self, x: _B) -> _B:
+        return _B([v + v for v in x.vals], [2 * h for h in x.hi], 2 * x.V)
+
+    def _neg_pad(self, y: _B):
+        """Smallest multiple of base_pad that dominates y limb-wise."""
+        assert y.L <= self.n, "b_neg/b_sub need <= n limbs (carry first)"
+        s = 1
+        for i in range(y.L):
+            s = max(s, -(-y.hi[i] // self.base_pad[i]))
+        pad_ints = [s * self.base_pad[i] for i in range(self.n)]
+        for v in pad_ints:
+            assert v < _INT31
+        return pad_ints, s
+
+    def b_neg(self, y: _B) -> _B:
+        """pad - y for a pad that is a multiple of p dominating y."""
+        pad_ints, s = self._neg_pad(y)
+        vals = [
+            np.int32(pad_ints[i]) - (y.vals[i] if i < y.L else 0)
+            for i in range(self.n)
+        ]
+        vals = [
+            v if isinstance(v, jax.Array) else jnp.broadcast_to(
+                jnp.asarray(v), y.vals[0].shape)
+            for v in vals
+        ]
+        return _B(vals, pad_ints, s * self.base_pad_val)
+
+    def b_sub(self, x: _B, y: _B) -> _B:
+        return self.b_add(x, self.b_neg(y))
+
+    def b_mul_small(self, x: _B, k: int) -> _B:
+        return _B([np.int32(k) * v for v in x.vals],
+                  [k * h for h in x.hi], k * x.V)
+
+    def b_const(self, v: int, batch) -> _B:
+        col = int_to_limbs(self._encode_int(v), self.n, self.b)
+        zero_ref = jnp.zeros(tuple(batch), jnp.int32)
+        vals = [np.int32(int(col[i, 0])) + zero_ref for i in range(self.n)]
+        return _B(vals, [int(col[i, 0]) for i in range(self.n)],
+                  self._encode_int(v))
+
+    def _mul_headroom(self):
+        # max allowed per-column product sum inside _school (+ slack for
+        # the fold contribution accounted in the engine bound proofs)
+        if self.kind == "mont":
+            return _INT31 - self.n * self.norm * self.norm - (1 << 20)
+        return _INT31 - (1 << 20)
+
+    def _carry_for_mul(self, x: _B, y: _B):
+        """Carry x and/or y (cheap relaxation passes) until the schoolbook
+        column bounds provably fit int32. Decision is trace-time only."""
+        def colmax(a, c):
+            best = 0
+            for k in range(a.L + c.L - 1):
+                s = 0
+                for i in range(max(0, k - c.L + 1), min(a.L, k + 1)):
+                    s += a.hi[i] * c.hi[k - i]
+                best = max(best, s)
+            return best
+
+        lim = self._mul_headroom()
+        for _ in range(4):
+            if colmax(x, y) < lim:
+                return x, y
+            # carry the operand with the larger worst limb
+            if max(x.hi) >= max(y.hi):
+                x = self._carry(x)
+            else:
+                y = self._carry(y)
+        assert colmax(x, y) < lim, "mul operands cannot be bounded"
+        return x, y
+
+    def b_mul(self, x: _B, y: _B) -> _B:
+        """Full modular product of two _B values (auto-carries operands
+        as needed); returns the loose-normalized _B."""
+        x, y = self._carry_for_mul(x, y)
+        prod = _school(x, y)
+        if self.kind == "mont":
+            return self._mont_reduce(prod)
+        return self._normalize_b(prod)
+
+    def b_sq(self, x: _B) -> _B:
+        return self.b_mul(x, x)
+
+    def b_select(self, mask, x: _B, y: _B) -> _B:
+        """mask ? x : y on _B values (bounds join limb-wise)."""
+        assert x.L == y.L
+        vals = [jnp.where(mask, xv, yv)
+                for xv, yv in zip(x.vals, y.vals)]
+        return _B(vals, [max(a, b_) for a, b_ in zip(x.hi, y.hi)],
+                  max(x.V, y.V))
 
     def _mont_reduce(self, c: _B):
         """SOS Montgomery reduction of 2n-1 product columns; result is
@@ -454,39 +623,41 @@ class Field:
 
         Implemented as a lax.scan over the n word steps (compact traced
         graph): the column window is kept left-aligned by shifting one limb
-        per step, so all slice offsets are static. Worst-case int32 bounds
-        are asserted once below (school column max + n Montgomery partial
-        products + running carry)."""
+        per step, so all slice offsets are static; the scan carry is the
+        stacked 2n-column window, unstacked to per-limb SSA adds inside
+        the body (no update-slices). Worst-case int32 bounds are asserted
+        once below (school column max + n Montgomery partial products +
+        running carry)."""
         n, b, mask = self.n, self.b, self.mask
-        batch = c.arr.shape[1:]
-        arr = jnp.concatenate(
-            [c.arr, jnp.zeros((2 * n - c.L,) + batch, jnp.int32)], axis=0
-        )
+        zero = jnp.zeros_like(c.vals[0])
+        cols = list(c.vals) + [zero] * (2 * n - c.L)
         # static overflow proof (uniform over steps)
         school_max = max(c.hi) if c.hi else 0
         bound = school_max + n * mask * int(self.p_np.max()) + (1 << (31 - b))
         assert bound < _INT31, f"mont bound overflow: {bound}"
-        p_arr = jnp.asarray(self.p_np)
+        p_ints = [np.int32(int(self.p_np[i, 0])) for i in range(n)]
         n0 = np.int32(self.n0inv)
 
         def step(d, _):
-            m = ((d[0] & mask) * n0) & mask
-            d = d.at[0:n].add(m * p_arr)
-            carry = d[0] >> b
-            d = jnp.concatenate([d[1:], jnp.zeros((1,) + batch, jnp.int32)])
-            d = d.at[0].add(carry)
-            return d, None
+            ds = [d[i] for i in range(2 * n)]
+            m = ((ds[0] & mask) * n0) & mask
+            for i in range(n):
+                ds[i] = ds[i] + m * p_ints[i]
+            carry = ds[0] >> b
+            ds = ds[1:] + [jnp.zeros_like(ds[0])]
+            ds[0] = ds[0] + carry
+            return jnp.stack(ds), None
 
-        arr, _ = jax.lax.scan(step, arr, None, length=n)
-        res = arr[:n]
+        arr, _ = jax.lax.scan(step, jnp.stack(cols), None, length=n)
+        res = [arr[i] for i in range(n)]
         res_hi = [bound] * n
         v_res = (c.V + (self.R - 1) * self.p) // self.R
-        return self._normalize(_B(res, res_hi, v_res))
+        return self._normalize_b(_B(res, res_hi, v_res))
 
     def from_mont(self, x):
         """Montgomery domain -> standard-domain limbs (mont fields only)."""
         assert self.kind == "mont"
-        return self._mont_reduce(_B(x, [self.loose] * self.n, self.V_loose))
+        return jnp.stack(self._mont_reduce(self._loose_b(x)).vals)
 
     def reduce_wide(self, cols, col_bound=None):
         """Reduce an arbitrary-length non-negative column vector mod p into
@@ -496,7 +667,7 @@ class Field:
         cb = self.norm if col_bound is None else col_bound
         bounds = [cb] * L
         V = sum(cb << (self.b * i) for i in range(L))
-        return self._normalize(_B(cols, bounds, V))
+        return self._normalize(_B(_unstack(cols, L), bounds, V))
 
     # ------------------------------------------------------------------
     # canonicalization / comparison / select
@@ -507,19 +678,19 @@ class Field:
         c = jnp.asarray(c_np)
         t = x - c  # limbs in (-2^b, 2^b)
         # signed carry pass
-        out = t
-        cr = jnp.zeros_like(t[0])
+        out = []
+        cr = None
         for i in range(self.n):
-            v = out[i] + cr
+            v = t[i] if cr is None else t[i] + cr
             cr = v >> self.b  # arithmetic shift: floor division
-            out = out.at[i].set(v & self.mask)
+            out.append(v & self.mask)
         ge = cr == 0  # borrow-free <=> x >= c
-        return jnp.where(ge[None], out, x)
+        return jnp.where(ge[None], jnp.stack(out), x)
 
     def canon(self, x):
         """Canonical representative: value reduced to [0, p), strict
         limbs. Input may be loose; re-strictified first."""
-        x = self._strict_carry(_B(x, [self.loose] * self.n, self.V_loose))
+        x = self._strict_carry(self._loose_b(x))
         for tbl in self._canon_tables:
             x = self._ct_sub_if_ge(x, tbl)
         return x
@@ -563,9 +734,14 @@ class Field:
         )
 
         def body(acc, d):
-            acc = self.square(self.square(self.square(self.square(acc))))
-            acc = self.mul(acc, jax.lax.dynamic_index_in_dim(table, d, 0, False))
-            return acc, None
+            # whole 4-bit step in b-land: one restack per digit instead of
+            # one per field op (ROOFLINE.md)
+            accb = self._loose_b(acc)
+            for _ in range(4):
+                accb = self.b_sq(accb)
+            t = jax.lax.dynamic_index_in_dim(table, d, 0, False)
+            accb = self.b_mul(accb, self._loose_b(t))
+            return jnp.stack(accb.vals), None
 
         # `+ x*0` ties the constant carry to x's device-varying type so the
         # scan is well-typed under shard_map (no numeric effect)
@@ -583,25 +759,25 @@ class Field:
     def _sr1(self, t, c_out=None):
         """Halve a strict limb vector; c_out is an optional overflow bit
         (value t + c_out*2^(b*n), guaranteed even)."""
-        lo = jnp.concatenate(
-            [(t[1:] & 1) << (self.b - 1),
-             jnp.zeros((1,) + t.shape[1:], jnp.int32)], axis=0
-        )
-        out = (t >> 1) | lo
+        out = [
+            (t[i] >> 1) | ((t[i + 1] & 1) << (self.b - 1))
+            for i in range(self.n - 1)
+        ]
+        top = t[self.n - 1] >> 1
         if c_out is not None:
-            out = out.at[self.n - 1].add(c_out << (self.b - 1))
-        return out
+            top = top + (c_out << (self.b - 1))
+        return jnp.stack(out + [top])
 
     def _strict_chain(self, t):
         """Signed sequential carry pass; returns (strict limbs, carry_out).
         carry_out is the final arithmetic carry (-1 borrow / 0 / +1)."""
-        cr = jnp.zeros_like(t[0])
-        out = t
+        cr = None
+        out = []
         for i in range(self.n):
-            v = out[i] + cr
+            v = t[i] if cr is None else t[i] + cr
             cr = v >> self.b
-            out = out.at[i].set(v & self.mask)
-        return out, cr
+            out.append(v & self.mask)
+        return jnp.stack(out), cr
 
     def inverse_bingcd(self, x):
         """Inverse by a fixed-trip masked binary extended GCD — a second
@@ -623,7 +799,7 @@ class Field:
         u = jnp.zeros_like(a).at[0].set(1)
         w = jnp.zeros_like(a)
 
-        pb = self.bcast(p_arr.reshape(n, *(1,) * len(batch)), batch)
+        pb = self.bcast(p_arr, batch)
 
         def half_mod(v):
             # v even ? v/2 : (v + p)/2   (result < p)
@@ -710,6 +886,7 @@ class Field:
         classes fall back to inverse + sqrt (two chains)."""
         if self.sqrt_kind != "p5mod8":
             r, ok = self.sqrt(self.mul(u, self.inverse(v)))
+            ok = jnp.logical_and(ok, jnp.logical_not(self.is_zero(v)))
             return r, ok
         batch = u.shape[1:]
         v3 = self.mul(self.square(v), v)
@@ -828,9 +1005,9 @@ class Field:
         v = bytes_le_to_limbs(by, self.n, self.b)
         # canonical check: v < p  <=>  v - p borrows
         t = v - jnp.asarray(self.p_np)
-        cr = jnp.zeros_like(t[0])
+        cr = None
         for i in range(self.n):
-            w = t[i] + cr
+            w = t[i] if cr is None else t[i] + cr
             cr = w >> self.b
         valid = cr < 0
         if self.kind == "mont":
@@ -866,6 +1043,34 @@ class Field:
         """Big-endian twin of from_wide_bytes_le (the reference exposes
         both: init_from_wide_bytes_{le,be}, field_macros.rs:284-302)."""
         return self.from_wide_bytes_le(by[::-1])
+
+    def reduce_wide_bytes_le(self, by):
+        """Wide LE bytes -> canonical LE bytes of (value mod p), without a
+        domain round-trip: for mont fields this computes the standard-
+        domain value v0 + (v1*R mod p) directly (one Montgomery multiply),
+        skipping the from_mont reduction that to_bytes_le(from_wide(..))
+        would pay. Used on the Ed25519 verify hot path to turn H(R||A||M)
+        into scalar digits."""
+        nb = by.shape[0]
+        assert nb * 8 <= 2 * self.bn
+        wide = bytes_le_to_limbs(by, -(-nb * 8 // self.b), self.b)
+        L = wide.shape[0]
+        n = self.n
+        if self.kind == "mont":
+            batch = wide.shape[1:]
+            if L < 2 * n:
+                wide = jnp.concatenate(
+                    [wide, jnp.zeros((2 * n - L,) + batch, jnp.int32)],
+                    axis=0,
+                )
+            v0, v1 = wide[:n], wide[n:]
+            v1r = self.mul(v1, jnp.asarray(self.R2_np))  # v1*R (standard)
+            v = self._normalize(
+                self.b_add(self._loose_b(v0), self._loose_b(v1r))
+            )
+        else:
+            v = self.reduce_wide(wide)
+        return limbs_to_bytes_le(self.canon(v), self.n_bytes, self.b)
 
     # host-side helpers -------------------------------------------------
 

@@ -127,13 +127,15 @@ def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes, tables=None):
     non-canonical S (reference ed25519.rs:116-143)."""
     A, ok_a = ED.decompress(pk_bytes)
     R, ok_r = ED.decompress(r_bytes)
-    s, ok_s = FL.from_bytes_le(s_bytes)
-    k = FL.from_wide_bytes_le(k_wide_bytes)
+    _, ok_s = FL.from_bytes_le(s_bytes)  # canonical-S rejection only
+    # S drives the comb windows as raw input bytes (canonical by the check
+    # above; if not, ok_s already gates acceptance), and k goes straight
+    # from the 64-byte digest to canonical bytes without the Montgomery
+    # domain round-trip.
+    k_bytes = FL.reduce_wide_bytes_le(k_wide_bytes)
     negA = ED.neg(A)
     w0 = None if tables is None else tuple(t[0] for t in tables)
-    lhs = double_scalar_mul_base(
-        FL.to_bytes_le(s), negA, FL.to_bytes_le(k), w0
-    )
+    lhs = double_scalar_mul_base(s_bytes, negA, k_bytes, w0)
     good = ED.eq(lhs, R)
     return jnp.logical_and(
         jnp.logical_and(ok_a, ok_r), jnp.logical_and(ok_s, good)
@@ -163,19 +165,26 @@ def double_scalar_mul_base(s_bytes, Q, k_bytes, w0=None):
     tx, ty, tt = (jnp.asarray(t) for t in w0)
 
     def body(acc, digs):
+        # whole window body in b-land: the scan carry is restacked once
+        # per window instead of once per field op (ROOFLINE.md)
         ds, dq = digs
+        accb = ED._unstack(acc)
         for i in range(4):
-            acc = ED.double(acc, need_t=(i == 3))
+            accb = ED.double_b(accb, need_t=(i == 3))
         sel = (jnp.arange(16, dtype=jnp.int32)[:, None] == ds[None, :]).astype(
             jnp.int32
         )
         bx = jnp.einsum("kb,kn->nb", sel, tx)
         by = jnp.einsum("kb,kn->nb", sel, ty)
         bt = jnp.einsum("kb,kn->nb", sel, tt)
-        acc = ED.add_mixed(acc, bx, by, bt)
+        accb = ED.add_mixed_b(
+            accb, f.b_loose(bx), f.b_loose(by), f.b_loose(bt)
+        )
         q = ED._ct_lookup(tableQ, dq, 4)
-        acc = ED.add(acc, q)
-        return acc, None
+        # the Q-add's T is never consumed (it feeds the next window's
+        # doubles or the final T-free equality check) — skip E*H
+        accb = ED.add_b(accb, ED._unstack(q), need_t=False)
+        return ED._stack(accb), None
 
     ident = ED.identity(batch)
     acc = ExtPoint(*(c + s_bytes[0] * 0 for c in ident))
