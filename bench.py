@@ -76,7 +76,7 @@ def run_verify(B: int) -> dict:
 
     from eccoxide_tpu.oracle import ed25519 as orc
     from eccoxide_tpu.protocol.ed25519 import (
-        device_tables, sha512_batch_host, verify_core,
+        device_tables_verify, sha512_batch_host, verify_core,
     )
 
     n_distinct = min(B, 128)
@@ -105,7 +105,7 @@ def run_verify(B: int) -> dict:
 
     pkb, rb, sb = tile(cols(pks)), tile(cols(rs)), tile(cols(ss))
     kwb = tile(kw)
-    tabs = device_tables()
+    tabs = device_tables_verify()
 
     # correctness on the raw core first (untimed)
     ok = jax.jit(verify_core)(pkb, rb, sb, kwb, tabs)

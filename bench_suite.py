@@ -146,7 +146,8 @@ def main():
     from __graft_entry__ import _example_verify_batch
 
     pk, r, s, kw = _example_verify_batch(min(B, 4096))
-    vargs = tuple(jnp.asarray(a) for a in (pk, r, s, kw)) + (edtabs,)
+    vtabs = ped.device_tables_verify()
+    vargs = tuple(jnp.asarray(a) for a in (pk, r, s, kw)) + (vtabs,)
     vf = jax.jit(ped.verify_core)
     out = vf(*vargs)
     out.block_until_ready()
@@ -195,10 +196,27 @@ def main():
     spec = sec2.get_curve("p256k1")
     for logn in (14, 16):
         N = 1 << logn
-        w = jnp.asarray(rng.integers(0, 16, size=(64, N), dtype=np.int32))
-        pts = jax.jit(
-            lambda w_: spec.scalar_mul(spec.generator((N,)), w_)
-        )(w)
+        # distinct points generated host-side by incremental oracle adds
+        # ([1]G, [2]G, ...): the previous on-device scalar_mul(B=N)
+        # generator graph was big enough to OOM-kill the remote compiler
+        from eccoxide_tpu.oracle.curve import WCurve
+        from eccoxide_tpu.params.sec2_params import CURVES
+
+        c_ = CURVES["p256k1"]
+        o = WCurve(c_["p"], c_["a"] % c_["p"], c_["b"], c_["gx"], c_["gy"],
+                   c_["order"])
+        n_distinct = min(N, 1024)
+        acc, apts = None, []
+        for _ in range(n_distinct):
+            acc = o.add(acc, (c_["gx"], c_["gy"]))
+            apts.append(acc)
+        reps_tile = -(-N // n_distinct)
+        fld = spec.field
+        X = np.tile(np.asarray(fld.encode_ints([p_[0] for p_ in apts])),
+                    (1, reps_tile))[:, :N]
+        Y = np.tile(np.asarray(fld.encode_ints([p_[1] for p_ in apts])),
+                    (1, reps_tile))[:, :N]
+        pts = spec.from_affine(jnp.asarray(X), jnp.asarray(Y))
         sb = jnp.asarray(rng.integers(0, 256, size=(32, N), dtype=np.int32))
         mf = jax.jit(lambda p, s: msm_local(spec, p, s))
         secs = _bench(mf, (pts, sb), reps_short=2, reps_long=6)

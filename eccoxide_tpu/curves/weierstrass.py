@@ -77,26 +77,41 @@ class WeierstrassCurveSpec:
 
     # -- complete group law --------------------------------------------
 
-    def add(self, P: ProjPoint, Q: ProjPoint) -> ProjPoint:
+    def _unstack(self, P: ProjPoint) -> ProjPoint:
+        f = self.field
+        return ProjPoint(*(f.b_loose(c) for c in P))
+
+    def _stack(self, P: ProjPoint) -> ProjPoint:
+        f = self.field
+        return ProjPoint(*(f.b_stack(c) for c in P))
+
+    def add_b(self, P: ProjPoint, Q: ProjPoint) -> ProjPoint:
+        """b-land complete addition (coords are field._B values)."""
         if self.shape == "a0":
             return self._add_a0(P, Q)
         if self.shape == "am3":
             return self._add_am3(P, Q)
         return self._add_generic(P, Q)
 
-    def double(self, P: ProjPoint) -> ProjPoint:
+    def double_b(self, P: ProjPoint) -> ProjPoint:
         if self.shape == "a0":
             return self._dbl_a0(P)
         if self.shape == "am3":
             return self._dbl_am3(P)
         return self._dbl_generic(P)
 
+    def add(self, P: ProjPoint, Q: ProjPoint) -> ProjPoint:
+        return self._stack(self.add_b(self._unstack(P), self._unstack(Q)))
+
+    def double(self, P: ProjPoint) -> ProjPoint:
+        return self._stack(self.double_b(self._unstack(P)))
+
     def _add_generic(self, P, Q):
         """RCB15 Algorithm 1 (reference projective.rs:186-266)."""
-        f = self.field
-        batch = P.x.shape[1:]
-        a = self._c(self.a, batch)
-        b3 = self._c(3 * self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        a = f.const_b(self.a % self.field.p, batch)
+        b3 = f.const_b(3 * self.b_coeff % self.field.p, batch)
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         t0 = f.mul(X1, X2)
@@ -127,10 +142,10 @@ class WeierstrassCurveSpec:
 
     def _dbl_generic(self, P):
         """RCB15 Algorithm 3 (reference projective.rs:485-530)."""
-        f = self.field
-        batch = P.x.shape[1:]
-        a = self._c(self.a, batch)
-        b3 = self._c(3 * self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        a = f.const_b(self.a % self.field.p, batch)
+        b3 = f.const_b(3 * self.b_coeff % self.field.p, batch)
         X, Y, Z = P
         t0 = f.square(X)
         t1 = f.square(Y)
@@ -156,9 +171,9 @@ class WeierstrassCurveSpec:
 
     def _add_a0(self, P, Q):
         """RCB15 Algorithm 7 (reference projective.rs:268-338)."""
-        f = self.field
-        batch = P.x.shape[1:]
-        b3 = self._c(3 * self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        b3 = f.const_b(3 * self.b_coeff % self.field.p, batch)
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         t0 = f.mul(X1, X2)
@@ -183,9 +198,9 @@ class WeierstrassCurveSpec:
 
     def _dbl_a0(self, P):
         """RCB15 Algorithm 9."""
-        f = self.field
-        batch = P.x.shape[1:]
-        b3 = self._c(3 * self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        b3 = f.const_b(3 * self.b_coeff % self.field.p, batch)
         X, Y, Z = P
         t0 = f.square(Y)
         Z3 = f.double(f.double(f.double(t0)))
@@ -202,9 +217,9 @@ class WeierstrassCurveSpec:
 
     def _add_am3(self, P, Q):
         """RCB15 Algorithm 4 (reference projective.rs:340-423)."""
-        f = self.field
-        batch = P.x.shape[1:]
-        b = self._c(self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        b = f.const_b(self.b_coeff % self.field.p, batch)
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         t0 = f.mul(X1, X2)
@@ -241,9 +256,9 @@ class WeierstrassCurveSpec:
 
     def _dbl_am3(self, P):
         """RCB15 Algorithm 6 (reference projective.rs:585-645)."""
-        f = self.field
-        batch = P.x.shape[1:]
-        b = self._c(self.b_coeff, batch)
+        f = self.field.fused
+        batch = P.x.vals[0].shape
+        b = f.const_b(self.b_coeff % self.field.p, batch)
         X, Y, Z = P
         t0 = f.square(X)
         t1 = f.square(Y)
@@ -395,10 +410,13 @@ class WeierstrassCurveSpec:
         table = self._window_table(P, w)
 
         def body(acc, dig):
+            # window body in b-land: one restack per window
+            accb = self._unstack(acc)
             for _ in range(w):
-                acc = self.double(acc)
+                accb = self.double_b(accb)
             q = self._ct_lookup(table, dig)
-            return self.add(acc, q), None
+            accb = self.add_b(accb, self._unstack(q))
+            return self._stack(accb), None
 
         ident = self.identity(P.x.shape[1:])
         acc = ProjPoint(*(c + P.x * 0 for c in ident))

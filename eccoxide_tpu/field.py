@@ -104,20 +104,45 @@ def _unstack(x, n: int):
     return [x[i] for i in range(n)]
 
 
+# Compact-graph mode (set ECCOXIDE_COMPACT_GRAPHS=1 before import; the test
+# conftest enables it): the schoolbook product lowers to ONE depthwise
+# int32 convolution instead of ~n^2 SSA multiply/add ops. Numerically
+# identical (integer conv is exact; tests/test_field.py cross-checks the
+# two forms), but the traced graph is ~100x smaller, which keeps XLA:CPU
+# compile times sane for the test suite. The SSA form stays the default:
+# on TPU it fuses into VPU loops and is the measured-fast path, while
+# int32 depthwise conv is not a TPU-supported fast path.
+_COMPACT = __import__("os").environ.get("ECCOXIDE_COMPACT_GRAPHS") == "1"
+
+
 def _school(a: _B, b: _B) -> _B:
     """Full product columns c_k = sum_{i+j=k} a_i * b_j as pure SSA MACs
     (no scatter/update-slice: every MAC is an independent multiply feeding
     a plain add tree, which XLA fuses into one VPU loop)."""
     n, m = a.L, b.L
     L = n + m - 1
-    c = [None] * L
     hi = [0] * L
+    for i in range(n):
+        for j in range(m):
+            hi[i + j] += a.hi[i] * b.hi[j]
+    if _COMPACT and n >= 4 and m >= 4 and a.vals[0].ndim == 1:
+        B = int(np.broadcast_shapes(a.vals[0].shape, b.vals[0].shape)[0])
+        lhs = jnp.broadcast_to(jnp.stack(a.vals), (n, B)).T[None]  # (1,B,n)
+        rhs = jnp.broadcast_to(
+            jnp.stack(b.vals), (m, B)
+        ).T[:, None, ::-1]                                         # (B,1,m)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding=[(m - 1, m - 1)],
+            feature_group_count=lhs.shape[1],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )[0].T                                        # (L, B)
+        return _B([out[k] for k in range(L)], hi, a.V * b.V)
+    c = [None] * L
     for i in range(n):
         ai = a.vals[i]
         for j in range(m):
             p = ai * b.vals[j]
             c[i + j] = p if c[i + j] is None else c[i + j] + p
-            hi[i + j] += a.hi[i] * b.hi[j]
     return _B(c, hi, a.V * b.V)
 
 
@@ -309,9 +334,22 @@ class Field:
             L = len(hi)
             # mask all limbs except the top; the top absorbs carries
             # (keeping the limb count stable so bounds can converge)
-            new_vals = [vals[i] & self.mask for i in range(L - 1)] + [vals[-1]]
-            for i in range(L - 1):
-                new_vals[i + 1] = new_vals[i + 1] + (vals[i] >> self.b)
+            if _COMPACT:
+                # stacked/update-slice pass: ~6 traced ops instead of ~3L
+                # (compile-light for the CPU test tier; the update-slice is
+                # the form that is slow at TPU runtime, not at compile)
+                arr = jnp.stack(vals)
+                masked = jnp.concatenate(
+                    [arr[: L - 1] & self.mask, arr[L - 1 :]], axis=0
+                )
+                arr2 = masked.at[1:].add(arr[: L - 1] >> self.b)
+                new_vals = [arr2[i] for i in range(L)]
+            else:
+                new_vals = (
+                    [vals[i] & self.mask for i in range(L - 1)] + [vals[-1]]
+                )
+                for i in range(L - 1):
+                    new_vals[i + 1] = new_vals[i + 1] + (vals[i] >> self.b)
             new_hi = [min(hi[i], self.mask) for i in range(L - 1)] + [hi[-1]]
             for i in range(L - 1):
                 new_hi[i + 1] += hi[i] >> self.b
@@ -509,7 +547,18 @@ class Field:
     def b_carry(self, c: _B) -> _B:
         return self._carry(c)
 
+    _B_GUARD = 1 << 29  # auto-carry operands above this bound in b_* sums
+
+    def _b_guard(self, x: _B, limit=None) -> _B:
+        """Carry x if its limb bounds are close enough to int32 overflow
+        that a subsequent add/double could trip the _B assert. Trace-time
+        decision only."""
+        if max(x.hi) > (limit or self._B_GUARD):
+            return self._carry(x)
+        return x
+
     def b_add(self, x: _B, y: _B) -> _B:
+        x, y = self._b_guard(x), self._b_guard(y)
         L = max(x.L, y.L)
         vals, hi = [], []
         for i in range(L):
@@ -525,6 +574,7 @@ class Field:
         return _B(vals, hi, x.V + y.V)
 
     def b_dbl(self, x: _B) -> _B:
+        x = self._b_guard(x)
         return _B([v + v for v in x.vals], [2 * h for h in x.hi], 2 * x.V)
 
     def _neg_pad(self, y: _B):
@@ -540,6 +590,9 @@ class Field:
 
     def b_neg(self, y: _B) -> _B:
         """pad - y for a pad that is a multiple of p dominating y."""
+        y = self._b_guard(y, 1 << 24)
+        if y.L > self.n:
+            y = self._normalize_b(y)
         pad_ints, s = self._neg_pad(y)
         vals = [
             np.int32(pad_ints[i]) - (y.vals[i] if i < y.L else 0)
@@ -556,6 +609,9 @@ class Field:
         return self.b_add(x, self.b_neg(y))
 
     def b_mul_small(self, x: _B, k: int) -> _B:
+        assert k >= 0
+        if k and max(x.hi) * k >= _INT31:
+            x = self._carry(x)
         return _B([np.int32(k) * v for v in x.vals],
                   [k * h for h in x.hi], k * x.V)
 
@@ -600,7 +656,18 @@ class Field:
     def b_mul(self, x: _B, y: _B) -> _B:
         """Full modular product of two _B values (auto-carries operands
         as needed); returns the loose-normalized _B."""
+        if self.kind == "mont":
+            # the SOS reduce consumes exactly <= 2n product columns, so
+            # operands that grew past n limbs (guard-carry extensions)
+            # fold back down first
+            if x.L > self.n:
+                x = self._normalize_b(x)
+            if y.L > self.n:
+                y = self._normalize_b(y)
         x, y = self._carry_for_mul(x, y)
+        if self.kind == "mont" and (x.L > self.n or y.L > self.n):
+            x = self._normalize_b(x) if x.L > self.n else x
+            y = self._normalize_b(y) if y.L > self.n else y
         prod = _school(x, y)
         if self.kind == "mont":
             return self._mont_reduce(prod)
@@ -616,6 +683,17 @@ class Field:
                 for xv, yv in zip(x.vals, y.vals)]
         return _B(vals, [max(a, b_) for a, b_ in zip(x.hi, y.hi)],
                   max(x.V, y.V))
+
+    @property
+    def fused(self) -> "FusedView":
+        """Field-API facade over _B values: formula code written against
+        the stacked Field API (mul/add/sub/double/...) runs fused by
+        swapping in this object and unstacked coordinates."""
+        v = getattr(self, "_fused_view", None)
+        if v is None:
+            v = FusedView(self)
+            object.__setattr__(self, "_fused_view", v)
+        return v
 
     def _mont_reduce(self, c: _B):
         """SOS Montgomery reduction of 2n-1 product columns; result is
@@ -1080,3 +1158,40 @@ class Field:
         v = self.from_mont(x) if self.kind == "mont" else x
         v = self.canon(v)
         return v[0] & 1
+
+
+class FusedView:
+    """Maps the stacked-Field method surface onto the _B (b-land) API so
+    group-law formula bodies are shared verbatim between the per-op
+    stacked form and the fused form (see Field.fused)."""
+
+    def __init__(self, f: Field):
+        self.f = f
+        self.p = f.p
+
+    def mul(self, x, y):
+        return self.f.b_mul(x, y)
+
+    def square(self, x):
+        return self.f.b_sq(x)
+
+    def add(self, x, y):
+        return self.f.b_add(x, y)
+
+    def sub(self, x, y):
+        return self.f.b_sub(x, y)
+
+    def double(self, x):
+        return self.f.b_dbl(x)
+
+    def neg(self, x):
+        return self.f.b_neg(x)
+
+    def mul_small(self, x, k):
+        return self.f.b_mul_small(x, k)
+
+    def select(self, mask, x, y):
+        return self.f.b_select(mask, x, y)
+
+    def const_b(self, v, batch):
+        return self.f.b_const(v, batch)

@@ -43,7 +43,7 @@ def make_sharded_verify(mesh: Mesh, axis: str = "dp"):
     jitted = jax.jit(_verify)
 
     def call(pk, r, s, kw):
-        return jitted(pk, r, s, kw, ped.device_tables())
+        return jitted(pk, r, s, kw, ped.device_tables_verify())
 
     return call
 

@@ -209,6 +209,45 @@ class WeierstrassComb:
         return acc
 
 
+_byte_table = None
+
+
+def edwards_byte_table():
+    """Shared 256-entry affine table ([k]B for k = 0..255) for the
+    verification-only Straus path (protocol/ed25519.py
+    double_scalar_mul_base): one gather per 8-bit window of the public
+    scalar S. Entry 0 is the identity (0, 1, t=0) — the complete addition
+    law absorbs it. Returns (xs, ys, ts) numpy (256, n) int32."""
+    global _byte_table
+    if _byte_table is None:
+        from ..curves import curve25519 as c255
+        from ..oracle.curve import ECurve
+        from ..limbs import int_to_limbs
+
+        spec = c255.EDWARDS
+        f = spec.field
+        o = ECurve(
+            p=f.p, a=spec.a % f.p, d=spec.d % f.p,
+            gx=spec.gx, gy=spec.gy, order=spec.scalar.p,
+        )
+
+        def enc(v):
+            return int_to_limbs(f._encode_int(v), f.n, f.b)[:, 0]
+
+        xs = np.zeros((256, f.n), dtype=np.int32)
+        ys = np.zeros_like(xs)
+        ts = np.zeros_like(xs)
+        ys[0] = enc(1)
+        acc = (0, 1)
+        for k in range(1, 256):
+            acc = o.add(acc, (spec.gx, spec.gy))
+            xs[k] = enc(acc[0])
+            ys[k] = enc(acc[1])
+            ts[k] = enc((acc[0] * acc[1]) % f.p)
+        _byte_table = (xs, ys, ts)
+    return _byte_table
+
+
 def get_comb(name: str):
     """Comb object for a named group, or None if not registered."""
     if name in _combs:

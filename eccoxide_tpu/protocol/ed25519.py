@@ -120,8 +120,9 @@ def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes, tables=None):
     for both scalars — the reference's separate mul_base + scale
     (ed25519.rs:137-140) costs twice the doublings).
 
-    ``tables`` is the comb (xs, ys, ts) triple as runtime arrays (only
-    window 0 is used); None embeds constants (CPU tests only).
+    ``tables`` is the 256-entry [k]B byte-table triple (params/comb.py
+    edwards_byte_table) as runtime arrays; None embeds constants (CPU
+    tests only).
 
     Returns a (B,) bool mask. Rejects non-canonical A/R encodings and
     non-canonical S (reference ed25519.rs:116-143)."""
@@ -134,61 +135,84 @@ def verify_core(pk_bytes, r_bytes, s_bytes, k_wide_bytes, tables=None):
     # domain round-trip.
     k_bytes = FL.reduce_wide_bytes_le(k_wide_bytes)
     negA = ED.neg(A)
-    w0 = None if tables is None else tuple(t[0] for t in tables)
-    lhs = double_scalar_mul_base(s_bytes, negA, k_bytes, w0)
+    lhs = double_scalar_mul_base(s_bytes, negA, k_bytes, tables)
     good = ED.eq(lhs, R)
     return jnp.logical_and(
         jnp.logical_and(ok_a, ok_r), jnp.logical_and(ok_s, good)
     )
 
 
-def double_scalar_mul_base(s_bytes, Q, k_bytes, w0=None):
-    """[s]B + [k]Q with one shared doubling chain (Straus interleaving,
-    4-bit windows): 64 x (4 dbl + 2 complete adds + 2 CT lookups).
+def double_scalar_mul_base(s_bytes, Q, k_bytes, w8=None):
+    """[s]B + [k]Q with one shared doubling chain (Straus interleaving):
+    32 scan steps of (8 dbl + 1 mixed add + 2 adds + lookups).
 
-    ``w0`` is the generator's window-0 affine table (tx, ty, tt), each
-    (16, n) — the comb's first window ([j]B for j=0..15, z=1) reused as
-    the Straus base table. None embeds constants (CPU tests only)."""
+    VERIFICATION-ONLY path: every input here is public (signature bytes,
+    public key, message digest), so the reference's constant-time
+    discipline does not apply and table lookups are data-dependent GATHERS
+    rather than masked full-table scans (the same reasoning vartime
+    verification uses everywhere, e.g. the reference's wNAF mul_vartime
+    for public scalars, projective.rs:62-64). Secret-key paths
+    (sign/public-key derivation) keep the CT comb (params/comb.py).
+
+    Window layout: the Q scalar uses 4-bit MSB-first windows (16-entry
+    per-element table, gathered); the fixed-base S scalar uses 8-bit
+    windows served by ONE shared 256-entry [k]B affine table — with the
+    MSB-first Horner chain (4 doublings per sub-step), a value added at
+    sub-step t is scaled by 16^(63-t), so byte m of S folds in at
+    t = 63-2m, i.e. on every second sub-step: 32 mixed adds total
+    (half the adds of the 4-bit variant).
+
+    ``w8`` is the (xs, ys, ts) byte-table triple
+    (params/comb.py edwards_byte_table) as runtime arrays; None embeds
+    constants (CPU tests only)."""
     from ..curves.edwards import ExtPoint
 
     batch = (s_bytes.shape[1],)
-    wq = windows_from_bytes_le(k_bytes, 64)
-    tableQ = ED._window_table(Q, 4)
+    wq = windows_from_bytes_le(k_bytes, 64)  # (64, B) MSB-first
+    tableQ = ED._window_table(Q, 4)          # int16 coords
 
-    ws = windows_from_bytes_le(s_bytes, 64)
     f = FQ
-    if w0 is None:
-        from ..params.comb import get_comb
+    if w8 is None:
+        from ..params.comb import edwards_byte_table
 
-        comb = get_comb("edwards25519")
-        w0 = (comb.xs[0], comb.ys[0], comb.ts[0])
-    tx, ty, tt = (jnp.asarray(t) for t in w0)
+        w8 = edwards_byte_table()
+    tx8, ty8, tt8 = (jnp.asarray(t) for t in w8)  # (256, n)
+    # byte m of S folds in at sub-step t = 63-2m (odd t); scan step i
+    # covers sub-steps 2i, 2i+1 -> byte 31-i at the second half
+    sb_seq = jnp.stack([s_bytes[31 - i] for i in range(32)])  # (32, B)
+    wq2 = wq.reshape(32, 2, -1)
 
-    def body(acc, digs):
-        # whole window body in b-land: the scan carry is restacked once
-        # per window instead of once per field op (ROOFLINE.md)
-        ds, dq = digs
+    def gatherQ(idx):
+        def pick(c):  # (16, n, B) int16 -> (n, B) int32
+            return jnp.take_along_axis(
+                c, idx[None, None, :].astype(jnp.int32), axis=0
+            )[0].astype(jnp.int32)
+
+        return ExtPoint(
+            pick(tableQ.x), pick(tableQ.y), pick(tableQ.z), pick(tableQ.t)
+        )
+
+    def body(acc, xs):
+        wq_pair, sb = xs
         accb = ED._unstack(acc)
         for i in range(4):
             accb = ED.double_b(accb, need_t=(i == 3))
-        sel = (jnp.arange(16, dtype=jnp.int32)[:, None] == ds[None, :]).astype(
-            jnp.int32
-        )
-        bx = jnp.einsum("kb,kn->nb", sel, tx)
-        by = jnp.einsum("kb,kn->nb", sel, ty)
-        bt = jnp.einsum("kb,kn->nb", sel, tt)
+        # Q-add T is never consumed (feeds doubles / the final T-free eq)
+        accb = ED.add_b(accb, ED._unstack(gatherQ(wq_pair[0])), need_t=False)
+        for i in range(4):
+            accb = ED.double_b(accb, need_t=(i == 3))
+        bx = jnp.take(tx8, sb, axis=0).T
+        by = jnp.take(ty8, sb, axis=0).T
+        bt = jnp.take(tt8, sb, axis=0).T
         accb = ED.add_mixed_b(
             accb, f.b_loose(bx), f.b_loose(by), f.b_loose(bt)
         )
-        q = ED._ct_lookup(tableQ, dq, 4)
-        # the Q-add's T is never consumed (it feeds the next window's
-        # doubles or the final T-free equality check) — skip E*H
-        accb = ED.add_b(accb, ED._unstack(q), need_t=False)
+        accb = ED.add_b(accb, ED._unstack(gatherQ(wq_pair[1])), need_t=False)
         return ED._stack(accb), None
 
     ident = ED.identity(batch)
     acc = ExtPoint(*(c + s_bytes[0] * 0 for c in ident))
-    acc, _ = jax.lax.scan(body, acc, (ws, wq))
+    acc, _ = jax.lax.scan(body, acc, (wq2, sb_seq))
     return acc
 
 
@@ -207,11 +231,12 @@ def _jit(name, fn):
 
 
 _dev_tables = None
+_dev_tables_v = None
 
 
 def device_tables():
-    """Comb tables staged once on the default device, to be passed as
-    runtime arguments into the jitted cores (never embedded as
+    """CT comb tables (sign-side) staged once on the default device, to be
+    passed as runtime arguments into the jitted cores (never embedded as
     constants — see params/comb.py)."""
     global _dev_tables
     if _dev_tables is None:
@@ -220,6 +245,19 @@ def device_tables():
         comb = get_comb("edwards25519")
         _dev_tables = tuple(jax.device_put(t) for t in comb.tables())
     return _dev_tables
+
+
+def device_tables_verify():
+    """The 256-entry [k]B byte table (verify-side gather path), staged
+    once on the default device."""
+    global _dev_tables_v
+    if _dev_tables_v is None:
+        from ..params.comb import edwards_byte_table
+
+        _dev_tables_v = tuple(
+            jax.device_put(t) for t in edwards_byte_table()
+        )
+    return _dev_tables_v
 
 
 def _cols(bs: list[bytes]) -> jnp.ndarray:
@@ -280,6 +318,7 @@ def verify_host(pks: list[bytes], msgs: list[bytes], sigs: list[bytes]) -> list[
         [r + pk + m for r, pk, m in zip(rs, pks, msgs)]
     )
     ok = _jit("vc", verify_core)(
-        _cols(pks), _cols(rs), _cols(ss), jnp.asarray(k_wide), device_tables()
+        _cols(pks), _cols(rs), _cols(ss), jnp.asarray(k_wide),
+        device_tables_verify(),
     )
     return [bool(v) for v in np.asarray(ok)]

@@ -209,3 +209,29 @@ def test_from_wide_bytes_be_matches_le(fld):
     for j in range(cols.shape[1]):
         v = int.from_bytes(bytes(cols[:, j].astype(np.uint8)), "little")
         assert fld.decode_ints(a)[j] == v % fld.p
+
+
+def test_compact_vs_ssa_forms():
+    """The compact (depthwise-conv + stacked-carry) graph form used by the
+    CPU test tier must agree exactly with the SSA form that runs on TPU —
+    the dual-path discipline for the compile-time escape hatch
+    (conftest.py). Checked on the two engine kinds."""
+    import eccoxide_tpu.field as F
+    from eccoxide_tpu.curves import curve25519 as c255
+    from eccoxide_tpu.curves import sec2
+
+    saved = F._COMPACT
+    try:
+        for fld in (c255.FQ, sec2.get_curve("p256r1").field):
+            vals_x = rand_vals(fld.p, 8, 5)
+            vals_y = rand_vals(fld.p, 8, 6)
+            x, y = fld.encode_ints(vals_x), fld.encode_ints(vals_y)
+            outs = {}
+            for mode in (False, True):
+                F._COMPACT = mode
+                outs[mode] = np.asarray(jax.jit(fld.mul)(x, y))
+            assert (outs[False] == outs[True]).all()
+            got = fld.decode_ints(jnp.asarray(outs[True]))
+            assert got == [(a * b) % fld.p for a, b in zip(vals_x, vals_y)]
+    finally:
+        F._COMPACT = saved
