@@ -104,15 +104,28 @@ def _unstack(x, n: int):
     return [x[i] for i in range(n)]
 
 
-# Compact-graph mode (set ECCOXIDE_COMPACT_GRAPHS=1 before import; the test
-# conftest enables it): the schoolbook product lowers to ONE depthwise
-# int32 convolution instead of ~n^2 SSA multiply/add ops. Numerically
-# identical (integer conv is exact; tests/test_field.py cross-checks the
-# two forms), but the traced graph is ~100x smaller, which keeps XLA:CPU
-# compile times sane for the test suite. The SSA form stays the default:
-# on TPU it fuses into VPU loops and is the measured-fast path, while
-# int32 depthwise conv is not a TPU-supported fast path.
-_COMPACT = __import__("os").environ.get("ECCOXIDE_COMPACT_GRAPHS") == "1"
+# Compact-graph mode: the schoolbook product lowers to ONE depthwise int32
+# convolution instead of ~n^2 SSA multiply/add ops. Numerically identical
+# (integer conv is exact; tests/test_field.py cross-checks the two forms),
+# but the traced graph is ~100x smaller, which keeps XLA:CPU compile times
+# sane (the SSA form that is fast on TPU makes CPU compiles take tens of
+# minutes). Resolution order, decided at *trace* time so one process can
+# trace for both backends:
+#   ECCOXIDE_COMPACT_GRAPHS=1 -> compact;  =0 -> SSA;
+#   unset -> compact iff the default JAX backend is CPU (so the driver's
+#   virtual-CPU multichip dryrun never compiles the TPU-tuned SSA graphs —
+#   the round-3 MULTICHIP rc=124 failure mode).
+# On TPU the SSA form stays the default: it fuses into VPU loops and is
+# the measured-fast path, while int32 depthwise conv is not a supported
+# TPU fast path.
+def _compact_mode() -> bool:
+    env = __import__("os").environ.get("ECCOXIDE_COMPACT_GRAPHS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # backend not initializable yet: keep the TPU path
+        return False
 
 
 def _school(a: _B, b: _B) -> _B:
@@ -125,18 +138,22 @@ def _school(a: _B, b: _B) -> _B:
     for i in range(n):
         for j in range(m):
             hi[i + j] += a.hi[i] * b.hi[j]
-    if _COMPACT and n >= 4 and m >= 4 and a.vals[0].ndim == 1:
+    if _compact_mode() and n >= 4 and m >= 4 and a.vals[0].ndim == 1:
         B = int(np.broadcast_shapes(a.vals[0].shape, b.vals[0].shape)[0])
-        lhs = jnp.broadcast_to(jnp.stack(a.vals), (n, B)).T[None]  # (1,B,n)
-        rhs = jnp.broadcast_to(
-            jnp.stack(b.vals), (m, B)
-        ).T[:, None, ::-1]                                         # (B,1,m)
-        out = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1,), padding=[(m - 1, m - 1)],
-            feature_group_count=lhs.shape[1],
-            dimension_numbers=("NCW", "OIW", "NCW"),
-        )[0].T                                        # (L, B)
-        return _B([out[k] for k in range(L)], hi, a.V * b.V)
+        # B == 0 falls through to the SSA loop: associative_scan invokes
+        # its combine fn on zero-length slices, and a conv with
+        # feature_group_count=0 is rejected (round-3 MSM test regression).
+        if B > 0:
+            lhs = jnp.broadcast_to(jnp.stack(a.vals), (n, B)).T[None]  # (1,B,n)
+            rhs = jnp.broadcast_to(
+                jnp.stack(b.vals), (m, B)
+            ).T[:, None, ::-1]                                         # (B,1,m)
+            out = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1,), padding=[(m - 1, m - 1)],
+                feature_group_count=lhs.shape[1],
+                dimension_numbers=("NCW", "OIW", "NCW"),
+            )[0].T                                        # (L, B)
+            return _B([out[k] for k in range(L)], hi, a.V * b.V)
     c = [None] * L
     for i in range(n):
         ai = a.vals[i]
@@ -334,7 +351,7 @@ class Field:
             L = len(hi)
             # mask all limbs except the top; the top absorbs carries
             # (keeping the limb count stable so bounds can converge)
-            if _COMPACT:
+            if _compact_mode():
                 # stacked/update-slice pass: ~6 traced ops instead of ~3L
                 # (compile-light for the CPU test tier; the update-slice is
                 # the form that is slow at TPU runtime, not at compile)
