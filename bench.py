@@ -158,6 +158,11 @@ def run_x25519(B: int) -> dict:
 
 
 def run_fieldmul(B: int) -> dict:
+    """Field-mul throughput via an ON-DEVICE dependency chain: K muls run
+    inside one jitted fori_loop (loop-carried z <- z*y), so the device
+    must execute them serially regardless of host dispatch pipelining.
+    (The host-side chained variant measured dt ~ 0 here: per-call device
+    time is far below the axon backend's dispatch pipeline depth.)"""
     jax = _setup_jax()
     import jax.numpy as jnp
     import numpy as np
@@ -168,16 +173,29 @@ def run_fieldmul(B: int) -> dict:
     rng = np.random.default_rng(7)
     xs = jnp.asarray(rng.integers(0, f.mask, size=(f.n, B), dtype=np.int32))
     ys = jnp.asarray(rng.integers(0, f.mask, size=(f.n, B), dtype=np.int32))
-    fn = jax.jit(f.mul)
 
-    def step(z):  # chain: z <- z*y
-        return fn(z, ys)
+    def chain(K):
+        def fn(z, y):
+            return jax.lax.fori_loop(0, K, lambda i, a: f.mul(a, y), z)
 
-    dt, _ = _chain_time(step, xs, lambda x: np.asarray(x[0, 0]),
-                        k_short=16, k_long=144)
+        return jax.jit(fn, static_argnums=())
+
+    k_short, k_long = 64, 1088
+    fshort, flong = chain(k_short), chain(k_long)
+    np.asarray(fshort(xs, ys))  # compile both
+    np.asarray(flong(xs, ys))
+    totals = {}
+    for name, fn in (("s", fshort), ("l", flong)):
+        trials = []
+        for _ in range(3):  # min-of-3: the first post-compile call can be
+            t0 = time.perf_counter()  # 30x slower (allocator warmup)
+            np.asarray(fn(xs, ys)[0, 0])
+            trials.append(time.perf_counter() - t0)
+        totals[name] = min(trials)
+    dt = max((totals["l"] - totals["s"]) / (k_long - k_short), 1e-9)
     return {"metric": "field_mul_25519_per_sec_chip",
             "value": round(B / dt, 1), "unit": "ops/s", "vs_baseline": 0.0,
-            "batch": B, "sec_per_batch": round(dt, 6)}
+            "batch": B, "sec_per_batch": round(dt, 9)}
 
 
 CHILD_MODES = {"verify": run_verify, "x25519": run_x25519,
@@ -232,22 +250,48 @@ def main():
         print(json.dumps(run_verify(int(sys.argv[1]))))
         return
 
-    # fallback ladder; first success wins. Warm the compile cache with a
-    # small batch first so a later timeout still leaves cached artifacts.
-    # Throughput grows with batch (measured: 4096 -> 161k/s, 8192 ->
-    # 189k/s, 16384 -> 205k/s), so the flagship tries the largest first.
-    _try("verify", 64, 420)
-    for B, tmo in ((32768, 580), (16384, 580), (8192, 580), (4096, 540),
-                   (1024, 480), (256, 300), (64, 240)):
-        rec = _try("verify", B, tmo)
-        if rec is not None:
-            print(json.dumps(rec))
+    # Bank-first ladder (round-3 lesson: three rounds ended with NO number
+    # because the flagship's cold compile ate the whole driver budget).
+    # Cheap, guaranteed-compilable metrics run FIRST and are banked; the
+    # flagship then upgrades the banked record if it lands within the
+    # remaining budget. Cold-cache timings measured on the axon TPU chip:
+    # fieldmul ~60s, x25519 ~180s, verify(B=64) ~330s end-to-end
+    # (59s trace + 247s XLA compile + run), so one 580s flagship attempt
+    # fits after the cheap rungs inside a ~1500s driver budget.
+    budget_s = float(os.environ.get("ECCOXIDE_BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
+
+    def remaining():
+        return budget_s - (time.time() - t_start)
+
+    best = [None]  # (priority, rec); higher priority wins
+
+    def bank(prio, rec):
+        if rec is None or "metric" not in rec:
             return
-    for mode, B, tmo in (("x25519", 1024, 420), ("fieldmul", 8192, 300)):
-        rec = _try(mode, B, tmo)
+        if best[0] is None or prio > best[0][0] or (
+            prio == best[0][0]
+            and rec.get("value", 0) > best[0][1].get("value", 0)
+        ):
+            best[0] = (prio, rec)
+
+    bank(0, _try("fieldmul", 8192, int(min(300, max(remaining() - 20, 60)))))
+    if remaining() > 300:
+        bank(1, _try("x25519", 1024, int(min(420, remaining() - 20))))
+    # flagship: measured clean cold end-to-end 844s at B=32768 (compile
+    # dominates and grows with batch), so the first attempt gets a 900s
+    # window; smaller batches compile faster and act as the fallback.
+    for B, cap in ((32768, 900), (8192, 580), (4096, 520), (256, 400)):
+        tmo = min(float(cap), remaining() - 15)
+        if tmo < 240:
+            break
+        rec = _try("verify", B, int(tmo))
         if rec is not None:
-            print(json.dumps(rec))
-            return
+            bank(2, rec)
+            break
+    if best[0] is not None:
+        print(json.dumps(best[0][1]))
+        return
     print(json.dumps({"metric": "ed25519_verify_per_sec_chip", "value": 0,
                       "unit": "ops/s", "vs_baseline": 0.0,
                       "error": "all fallback measurements failed"}))

@@ -5,7 +5,10 @@ curves.rs field/scalar/point matrices, curve25519.rs, x25519.rs,
 ed25519.rs, curve448.rs, x448.rs) as batched throughput numbers
 (ops/sec/chip at a given batch size). Prints one JSON line per metric.
 
-Usage: python bench_suite.py [batch] [--curves p256r1,p256k1,...]
+Usage: python bench_suite.py [batch] [--out SUITE_rNN.json]
+
+With --out, every record is also written as a machine-readable JSON array
+(the auditable SUITE_r*.json artifact; VERDICT r3 missing #4).
 """
 
 import json
@@ -65,12 +68,14 @@ def main():
 
     results = []
 
-    def emit(metric, secs, unit="ops/s"):
-        rate = B / secs
-        rec = {"metric": metric, "value": round(rate, 1), "unit": unit,
-               "batch": B, "sec": round(secs, 5)}
+    def record(rec):
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    def emit(metric, secs, unit="ops/s", batch=None):
+        bb = B if batch is None else batch
+        record({"metric": metric, "value": round(bb / secs, 1), "unit": unit,
+                "batch": bb, "sec": round(secs, 5)})
 
     # ---- field matrix (reference benches/curves.rs:107-228) ----
     from eccoxide_tpu.curves import sec2
@@ -156,10 +161,9 @@ def main():
         out = vf(*vargs)
     out.block_until_ready()
     secs = (time.perf_counter() - t0) / 3
-    print(json.dumps({"metric": "ed25519_verify", "value":
-                      round(min(B, 4096) / secs, 1), "unit": "ops/s",
-                      "batch": min(B, 4096), "sec": round(secs, 5)}),
-          flush=True)
+    record({"metric": "ed25519_verify", "value":
+            round(min(B, 4096) / secs, 1), "unit": "ops/s",
+            "batch": min(B, 4096), "sec": round(secs, 5)})
 
     # ---- x448 ----
     from eccoxide_tpu.protocol import x448 as px4
@@ -176,9 +180,8 @@ def main():
     for _ in range(3):
         sha512_batch(hmsgs)
     secs = (time.perf_counter() - t0) / 3
-    print(json.dumps({"metric": "sha512_host", "value": round(B / secs, 1),
-                      "unit": "msgs/s", "batch": B,
-                      "sec": round(secs, 5)}), flush=True)
+    record({"metric": "sha512_host", "value": round(B / secs, 1),
+            "unit": "msgs/s", "batch": B, "sec": round(secs, 5)})
 
     # ---- sqrt: Tonelli-Shanks (p224r1, s=96) vs (p+1)/4 chain (p256r1)
     # (VERDICT r1 #8 done-criterion: TS within ~2x of a chain) ----
@@ -220,10 +223,23 @@ def main():
         sb = jnp.asarray(rng.integers(0, 256, size=(32, N), dtype=np.int32))
         mf = jax.jit(lambda p, s: msm_local(spec, p, s))
         secs = _bench(mf, (pts, sb), reps_short=2, reps_long=6)
-        print(json.dumps({"metric": f"msm_p256k1_2e{logn}",
-                          "value": round(N / secs, 1),
-                          "unit": "pointmuls/s", "batch": N,
-                          "sec": round(secs, 5)}), flush=True)
+        record({"metric": f"msm_p256k1_2e{logn}",
+                "value": round(N / secs, 1),
+                "unit": "pointmuls/s", "batch": N,
+                "sec": round(secs, 5)})
+
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        import platform
+
+        meta = {"suite": "eccoxide_tpu bench_suite", "batch_default": B,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "host": platform.platform()}
+        with open(out_path, "w") as fh:
+            json.dump({"meta": meta, "results": results}, fh, indent=1)
+        print(f"# wrote {out_path} ({len(results)} records)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,23 @@ import jax.numpy as jnp
 from ..field import Field, _B
 
 
+class _SkippedT(_B):
+    """Zero placeholder for a T coordinate skipped by ``need_t=False``.
+
+    Stacking it into a scan carrier is fine (it is a valid all-zero _B);
+    CONSUMING it in an addition is a bug — add_b/add_mixed_b assert
+    against it at trace time, so a wrong need_t chain fails loudly when
+    the graph is built instead of silently returning a wrong point
+    (round-2 advisor / round-3 VERDICT weak #8)."""
+
+    __slots__ = ()
+
+
+def _skipped_t(f: Field, like) -> _B:
+    zero = jnp.zeros_like(like)
+    return _SkippedT([zero] * f.n, [0] * f.n, 0)
+
+
 class ExtPoint(NamedTuple):
     """Extended coordinates; T = X*Y/Z."""
 
@@ -105,8 +122,7 @@ class EdwardsCurveSpec:
         if need_t:
             t = f.b_mul(E, H)
         else:
-            zero = jnp.zeros_like(p.x.vals[0])
-            t = _B([zero] * f.n, [0] * f.n, 0)
+            t = _skipped_t(f, p.x.vals[0])
         return ExtPointB(f.b_mul(E, Fv), f.b_mul(G, H), f.b_mul(Fv, G), t)
 
     def add_b(self, p: ExtPointB, q: ExtPointB,
@@ -118,6 +134,9 @@ class EdwardsCurveSpec:
         valid when the result's T is never consumed (it feeds a double or
         an equality check, both T-free)."""
         f = self.field
+        assert not isinstance(p.t, _SkippedT) and not isinstance(
+            q.t, _SkippedT
+        ), "add_b consumes T of a need_t=False point (garbage T)"
         batch = p.x.vals[0].shape
         if self.a == -1:
             A = f.b_mul(f.b_sub(p.y, p.x), f.b_sub(q.y, q.x))
@@ -144,8 +163,7 @@ class EdwardsCurveSpec:
         if need_t:
             t = f.b_mul(E, H)
         else:
-            zero = jnp.zeros_like(p.x.vals[0])
-            t = _B([zero] * f.n, [0] * f.n, 0)
+            t = _skipped_t(f, p.x.vals[0])
         return ExtPointB(f.b_mul(E, Fv), f.b_mul(G, H), f.b_mul(Fv, G), t)
 
     def add_mixed_b(self, p: ExtPointB, qx: _B, qy: _B, qt: _B) -> ExtPointB:
@@ -153,6 +171,9 @@ class EdwardsCurveSpec:
         T2 = qx*qy): saves the Z1*Z2 multiply (reference
         projective.rs:898-911 uses the same trick)."""
         f = self.field
+        assert not isinstance(p.t, _SkippedT), (
+            "add_mixed_b consumes T of a need_t=False point (garbage T)"
+        )
         batch = p.x.vals[0].shape
         if self.a == -1:
             A = f.b_mul(f.b_sub(p.y, p.x), f.b_sub(qy, qx))

@@ -733,18 +733,42 @@ class Field:
         p_ints = [np.int32(int(self.p_np[i, 0])) for i in range(n)]
         n0 = np.int32(self.n0inv)
 
-        def step(d, _):
-            ds = [d[i] for i in range(2 * n)]
-            m = ((ds[0] & mask) * n0) & mask
-            for i in range(n):
-                ds[i] = ds[i] + m * p_ints[i]
-            carry = ds[0] >> b
-            ds = ds[1:] + [jnp.zeros_like(ds[0])]
-            ds[0] = ds[0] + carry
-            return jnp.stack(ds), None
+        unroll = __import__("os").environ.get(
+            "ECCOXIDE_MONT_UNROLL", "1") == "1"
+        if _compact_mode() or not unroll:
+            def step(d, _):
+                ds = [d[i] for i in range(2 * n)]
+                m = ((ds[0] & mask) * n0) & mask
+                for i in range(n):
+                    ds[i] = ds[i] + m * p_ints[i]
+                carry = ds[0] >> b
+                ds = ds[1:] + [jnp.zeros_like(ds[0])]
+                ds[0] = ds[0] + carry
+                return jnp.stack(ds), None
 
-        arr, _ = jax.lax.scan(step, jnp.stack(cols), None, length=n)
-        res = [arr[i] for i in range(n)]
+            arr, _ = jax.lax.scan(step, jnp.stack(cols), None, length=n)
+            res = [arr[i] for i in range(n)]
+        else:
+            # TPU path: the n word-steps unrolled as per-limb SSA (the
+            # same treatment that took the solinas engine from scatter
+            # scans to fused VPU loops, ROOFLINE.md). Each step's n MACs
+            # are independent; XLA software-pipelines consecutive steps,
+            # which a lax.scan (stacked (2n, B) carry materialized every
+            # step) structurally prevents. ~n^2 traced ops — compact mode
+            # above keeps CPU test compiles sane.
+            ds = cols
+            for _ in range(n):
+                m = ((ds[0] & mask) * n0) & mask
+                ds = [
+                    ds[i] + m * p_ints[i] if i < n else ds[i]
+                    for i in range(len(ds))
+                ]
+                carry = ds[0] >> b
+                ds = ds[1:]
+                ds[0] = ds[0] + carry
+            res = ds[:n]
+            if len(res) < n:  # L < 2n products: window shrank below n
+                res = res + [zero] * (n - len(res))
         res_hi = [bound] * n
         v_res = (c.V + (self.R - 1) * self.p) // self.R
         return self._normalize_b(_B(res, res_hi, v_res))

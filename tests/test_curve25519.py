@@ -159,3 +159,24 @@ def test_generator_maps_to_9():
         return FQ.eq(u, FQ.bcast(FQ.const(9), (1,)))
 
     assert bool(np.asarray(J("gmap", f)()).all())
+
+
+def test_skipped_t_consumption_fails_loudly():
+    """need_t=False leaves a poisoned T (edwards._SkippedT): consuming it
+    in any addition must fail at TRACE time, not silently compute with a
+    garbage T=0 (round-3 VERDICT weak #8)."""
+    import pytest
+
+    g = ED.generator((2,))
+    gb = ED._unstack(g)
+    d = ED.double_b(gb, need_t=False)
+    with pytest.raises(AssertionError, match="need_t"):
+        ED.add_b(d, gb)
+    with pytest.raises(AssertionError, match="need_t"):
+        ED.add_b(gb, d)
+    with pytest.raises(AssertionError, match="need_t"):
+        ED.add_mixed_b(d, gb.x, gb.y, gb.t)
+    # the sanctioned chain still works: finish with a need_t=True double
+    ok = ED.double_b(d, need_t=True)
+    out = ED._stack(ED.add_b(ok, gb))
+    assert out.x.shape[0] == FQ.n
