@@ -136,6 +136,78 @@ def run_verify(B: int) -> dict:
                                for k, v in totals.items()}}
 
 
+def run_rlc(B: int) -> dict:
+    """RLC batch verification (protocol/ed25519_batch.py): one Pippenger
+    MSM pair + one fixed-base comb per batch instead of B Straus chains.
+    Same observable accept/reject semantics as verify_core (w.h.p.); the
+    candidate replacement flagship once measured faster."""
+    jax = _setup_jax()
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eccoxide_tpu.oracle import ed25519 as orc
+    from eccoxide_tpu.protocol import ed25519 as base
+    from eccoxide_tpu.protocol.ed25519_batch import rlc_verify_core, sample_z
+
+    n_distinct = min(B, 128)
+    rng = random.Random(1234)
+    sks = [bytes(rng.randrange(256) for _ in range(32))
+           for _ in range(n_distinct)]
+    msgs = [bytes(rng.randrange(256) for _ in range(32))
+            for _ in range(n_distinct)]
+    pks = [orc.public_key(sk) for sk in sks]
+    sigs = [orc.sign(sk, m) for sk, m in zip(sks, msgs)]
+    rs = [s[:32] for s in sigs]
+    ss = [s[32:] for s in sigs]
+    kw = base.sha512_batch_host(
+        [r + pk + m for r, pk, m in zip(rs, pks, msgs)]
+    ).astype(np.int32)
+
+    def cols(bs):
+        return np.stack(
+            [np.frombuffer(b, np.uint8) for b in bs], axis=1
+        ).astype(np.int32)
+
+    reps = -(-B // n_distinct)
+
+    def tile(a):
+        return jnp.asarray(np.tile(a, (1, reps))[:, :B])
+
+    pkb, rb, sb = tile(cols(pks)), tile(cols(rs)), tile(cols(ss))
+    kwb = tile(kw)
+    zb = jnp.asarray(sample_z(B, np.random.default_rng(5)))
+    tabs = base.device_tables()
+    msm_c = 8 if B >= 4096 else 4
+    from functools import partial
+
+    core = jax.jit(partial(rlc_verify_core, msm_c=msm_c))
+
+    ok = core(pkb, rb, sb, kwb, zb, tabs)
+    if not bool(np.asarray(ok)):
+        return {"metric": "ed25519_verify_per_sec_chip", "value": 0,
+                "unit": "ops/s", "vs_baseline": 0.0,
+                "error": "rlc batch verification incorrect"}
+
+    def _step(pk, rb, sb, kwb, zb, tabs):
+        ok = rlc_verify_core(pk, rb, sb, kwb, zb, tabs, msm_c=msm_c)
+        return pk + ok.astype(jnp.int32) - 1
+
+    jstep = jax.jit(_step)
+
+    def step(pk):
+        return jstep(pk, rb, sb, kwb, zb, tabs)
+
+    dt, totals = _chain_time(step, pkb, lambda x: np.asarray(x[0, 0]))
+    rate = B / dt
+    return {"metric": "ed25519_verify_per_sec_chip", "value": round(rate, 1),
+            "unit": "ops/s", "vs_baseline": round(rate / TARGET_PER_CHIP, 4),
+            "batch": B, "sec_per_batch": round(dt, 6), "method": "rlc_batch",
+            "chain_totals_s": {str(k): round(v, 3)
+                               for k, v in totals.items()}}
+
+
 def run_x25519(B: int) -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -198,7 +270,7 @@ def run_fieldmul(B: int) -> dict:
             "batch": B, "sec_per_batch": round(dt, 9)}
 
 
-CHILD_MODES = {"verify": run_verify, "x25519": run_x25519,
+CHILD_MODES = {"verify": run_verify, "rlc": run_rlc, "x25519": run_x25519,
                "fieldmul": run_fieldmul}
 
 
@@ -274,6 +346,12 @@ def main():
             and rec.get("value", 0) > best[0][1].get("value", 0)
         ):
             best[0] = (prio, rec)
+            # Stream the best-so-far record IMMEDIATELY: if an outer
+            # (driver-side) timeout kills this process mid-flagship, the
+            # last JSON line on stdout is still a real banked number
+            # (round-3 failure mode: bench was killed before its one
+            # final print, so the round recorded nothing).
+            print(json.dumps(rec), flush=True)
 
     bank(0, _try("fieldmul", 8192, int(min(300, max(remaining() - 20, 60)))))
     if remaining() > 300:
@@ -290,7 +368,7 @@ def main():
             bank(2, rec)
             break
     if best[0] is not None:
-        print(json.dumps(best[0][1]))
+        print(json.dumps(best[0][1]), flush=True)
         return
     print(json.dumps({"metric": "ed25519_verify_per_sec_chip", "value": 0,
                       "unit": "ops/s", "vs_baseline": 0.0,

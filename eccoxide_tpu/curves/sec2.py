@@ -6,9 +6,14 @@ supports through its non-constant-time num-bigint backend
 (/root/reference/src/curve/bigint/, README.md:36-39) — here every curve
 runs on the same constant-time batched engines.
 
-Field-engine roster mirrors the reference's backend choices
-(/root/reference/src/curve/fiat/mod.rs): Montgomery for the generic SEC2
-primes, solinas for p521 (p521_64.rs); scalar fields are all Montgomery.
+Field-engine roster: the reference backs these primes with word-serial
+Montgomery (src/curve/fiat/mod.rs) — a 64-bit-CPU choice. On TPU every
+coordinate field runs the solinas engine instead: the SEC2 primes are all
+special-form, so high limbs fold with sparse constants (Koblitz/Crandall
+primes, p521) or a one-shot matrix fold (p256r1's dense F — see
+field.Field._fold_wide_matrix), avoiding the Montgomery scan's length-n
+dependency chain. Scalar fields (random group orders, F ~ 2^bn: no fold
+convergence) stay Montgomery.
 """
 
 from __future__ import annotations
@@ -44,7 +49,7 @@ def get_curve(name: str) -> WeierstrassCurveSpec:
         shape = "am3"
     else:
         shape = "generic"
-    field_kind = "solinas" if name == "p521r1" else "mont"
+    field_kind = "solinas" if Field.solinas_ok(p) else "mont"
     spec = WeierstrassCurveSpec(
         name=name,
         field=Field(name, p, field_kind),

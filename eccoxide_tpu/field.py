@@ -186,6 +186,24 @@ class Field:
     """A batched prime field. One instance per prime; instances are static
     (captured as constants under jit)."""
 
+    @staticmethod
+    def solinas_ok(p: int) -> bool:
+        """True when the solinas F-fold converges comfortably for p: each
+        fold must shave at least one limb (b bits) off the value bound,
+        i.e. F = 2^bn mod p <= 2^(bn-b). Special-form primes (Crandall /
+        Koblitz / NIST) qualify; a random prime (group orders, the toy
+        p112 curves) has F ~ p ~ 2^bn and must use Montgomery."""
+        bits = p.bit_length()
+        for b in (13, 12):
+            n = -(-bits // b)
+            if b * n == bits:
+                n += 1
+            if n * ((1 << b) - 1 + 64) ** 2 + (1 << 20) < _INT31:
+                break
+        bn = b * n
+        F = (1 << bn) % p
+        return bn - F.bit_length() >= b
+
     def __init__(self, name: str, p: int, kind: str):
         assert p > 2 and p % 2 == 1
         self.name = name
@@ -236,6 +254,19 @@ class Field:
         self.F = self.R % p
         self.F_np = int_to_limbs(self.F, n, b)
         self.p_np = int_to_limbs(p, n, b)
+
+        # Dense-F solinas primes (e.g. p256r1: F = 2^228-2^196-2^100+16):
+        # each plain F-fold only shaves bn - |F| bits off the value bound,
+        # so a wide product would take ~bn/(bn-|F|) fold rounds (8 for
+        # p256r1). Such primes instead fold every column >= n in ONE
+        # parallel pass via per-column constants 2^(b*j) mod p
+        # (_fold_wide_matrix). The reference picked Montgomery for these
+        # primes (src/curve/fiat/mod.rs) — a 64-bit-CPU artifact; on TPU
+        # the word-serial Montgomery scan is a length-n dependency chain,
+        # while the matrix fold is one batched MAC tree.
+        shave = self.bn - (self.F.bit_length() if self.F else 0)
+        self.fold_dense = kind == "solinas" and shave * 3 < self.bn
+        self._fold_rows_cache: dict = {}
 
         # SUBPAD: a multiple of p with every limb >= loose, so
         # (x + SUBPAD - y) is non-negative limb-wise for any loose x, y.
@@ -423,6 +454,54 @@ class Field:
             return best
         return (R - 1) + cmax * F
 
+    def _fold_row(self, j: int):
+        """(limbs, value) of 2^(b*(n+j)) mod p — row j of the matrix fold."""
+        r = self._fold_rows_cache.get(j)
+        if r is None:
+            v = pow(2, self.b * (self.n + j), self.p)
+            r = (int_to_limbs(v, self.n, self.b), v)
+            self._fold_rows_cache[j] = r
+        return r
+
+    def _fold_wide_matrix(self, hi_vals, hi_bounds):
+        """One-shot fold of the columns above 2^bn:
+        contrib_i = sum_j hi_j * M[j][i] with M[j] = limbs(2^(b*(n+j)) mod p).
+        Equals the iterated F-fold mod p but converges in a single round
+        where the scalar fold needs ~bn/(bn-|F|) rounds (dense F). SSA MAC
+        tree on TPU; one int32 matmul in compact mode. Returns None when
+        the int32 column bound cannot be proven (caller falls back to the
+        scalar F-fold)."""
+        n = self.n
+        k = len(hi_vals)
+        rows = [self._fold_row(j) for j in range(k)]
+        hb = [0] * n
+        V = 0
+        for j in range(k):
+            rnp, rv = rows[j]
+            V += hi_bounds[j] * rv
+            for i in range(n):
+                hb[i] += hi_bounds[j] * int(rnp[i, 0])
+        if max(hb) + self.loose + (1 << 20) >= _INT31:
+            return None
+        if _compact_mode():
+            M = jnp.asarray(
+                np.concatenate([r[0] for r in rows], axis=1).astype(np.int32)
+            )  # (n, k)
+            out = M @ jnp.stack(hi_vals)  # (n,) + batch
+            return _B([out[i] for i in range(n)], hb, V)
+        acc = [None] * n
+        for j in range(k):
+            rnp, _ = rows[j]
+            hj = hi_vals[j]
+            for i in range(n):
+                e = int(rnp[i, 0])
+                if e == 0:
+                    continue
+                pr = np.int32(e) * hj
+                acc[i] = pr if acc[i] is None else acc[i] + pr
+        zero = jnp.zeros_like(hi_vals[0])
+        return _B([zero if v is None else v for v in acc], hb, V)
+
     def _normalize_b(self, c: _B) -> _B:
         """Reduce arbitrary non-negative columns to n loose limbs
         (value < 2^bn), preserving the value mod p. Folds the part above
@@ -461,12 +540,17 @@ class Field:
                 lo = _B(lo_vals, lo_hi,
                         min(c.V, _value_bound(lo_hi, self.b)))
             else:
-                hi_V = min(
-                    _value_bound(c.hi[n:], self.b), max(0, c.V >> self.bn)
+                contrib = (
+                    self._fold_wide_matrix(c.vals[n:], c.hi[n:])
+                    if self.fold_dense else None
                 )
-                contrib = _school_const(
-                    _B(c.vals[n:], c.hi[n:], hi_V), self.F_np, self.F
-                )
+                if contrib is None:
+                    hi_V = min(
+                        _value_bound(c.hi[n:], self.b), max(0, c.V >> self.bn)
+                    )
+                    contrib = _school_const(
+                        _B(c.vals[n:], c.hi[n:], hi_V), self.F_np, self.F
+                    )
                 lo = _B(c.vals[:n], c.hi[:n],
                         min(c.V, _value_bound(c.hi[:n], self.b)))
             L = max(n, contrib.L)

@@ -145,3 +145,26 @@ def test_rfc8032_tests_1_2_3_batched():
     assert ped.public_keys_host(sks) == pks
     assert ped.sign_host(sks, msgs) == sigs
     assert ped.verify_host(pks, msgs, sigs) == [True, True, True]
+
+
+def test_message_length_sweep():
+    """Sign + verify messages of every length 0..40 plus a few larger
+    sizes through one batched call (reference ed25519.rs:347-361 signs a
+    length sweep and verifies each; here the whole sweep is one batch —
+    variable lengths are a host-side SHA-512 concern only, the device
+    kernel always sees fixed 64-byte digests)."""
+    rng = random.Random(99)
+    lengths = list(range(41)) + [63, 64, 65, 127, 128, 300]
+    sk = bytes(rng.randrange(256) for _ in range(32))
+    pk = orc.public_key(sk)
+    msgs = [bytes(rng.randrange(256) for _ in range(n)) for n in lengths]
+    sigs = ped.sign_host([sk] * len(msgs), msgs)
+    assert sigs == [orc.sign(sk, m) for m in msgs]
+    assert ped.verify_host([pk] * len(msgs), msgs, sigs) == (
+        [True] * len(msgs)
+    )
+    # each signature only verifies its own message length/content
+    rot = sigs[1:] + sigs[:1]
+    assert ped.verify_host([pk] * len(msgs), msgs, rot) == (
+        [False] * len(msgs)
+    )
